@@ -1,0 +1,746 @@
+"""Batched array-of-trees MCTS with KataGo search semantics, on-device.
+
+This is the TPU re-design of the reference search stack
+(`cpp/search/search.cpp`, `searchexplorehelpers.cpp`, `searchupdatehelpers.cpp`,
+`searchhelpers.cpp`): one jitted program advances B independent searches in
+lockstep — one simulation per game per round — so the NN forward always sees a
+full [B, features] batch by construction. The reference's thread machinery
+(virtual losses, spinlocks, CAS child insertion, batching server) has no
+equivalent here because its job (keeping a GPU fed from CPU threads) does not
+exist: parallelism is the batch axis (SURVEY.md §2.8 P1-P3).
+
+KataGo semantics implemented (file:line cite → here):
+  * PUCT selection: cpuct = c + c_log·log((W+base)/base); exploreScaling =
+    cpuct·sqrt(W+0.01)·parentUtilityStdevFactor; selection = scaling·P/(1+w_c)
+    + Q (searchexplorehelpers.cpp:9-45).
+  * FPU: parent utility (optionally blended toward parent NN value) minus
+    fpuReductionMax·sqrt(visited policy mass), loss-prop shift
+    (searchexplorehelpers.cpp:262-300).
+  * Value aggregation: each backup recomputes every path node's stats from
+    its children with value-based downweighting — z-scored child utilities
+    through a normal CDF raised to valueWeightExponent
+    (searchupdatehelpers.cpp:330-417 downweightBadChildrenAndNormalizeWeight).
+  * Uncertainty-weighted evals: weight = coeff/(err^exp + coeff/maxWeight)
+    (searchupdatehelpers.cpp:103-121).
+  * Root Dirichlet noise with KataGo's alpha allocation (half uniform, half
+    shaped by excess log-policy; searchhelpers.cpp computeDirichletAlpha
+    Distribution) and root policy temperature with early-game interpolation.
+  * Forced playouts at root: children with >0 visits are forced up to
+    sqrt(coeff·P·totalVisits) visits (searchexplorehelpers.cpp:150).
+  * Terminal handling: terminal nodes are re-visited, re-adding the exact
+    game result (search.cpp:943-952 — without the GPU-pacing sleep, which is
+    meaningless in lockstep).
+  * LCB move selection + temperature (searchresults.cpp, see select_moves).
+
+Not in v1 (flag-gated, documented): graph-search transpositions + edge-visit
+catch-up (search.cpp:704-759,1169-1206), subtree value bias table, noise
+pruning (pruneNoiseWeight's sequential policy-ordered scan), pattern bonus,
+tree reuse between moves. These are strength refinements the reference itself
+gates behind config flags; planned for round 2.
+
+Perspective convention: node utilities are stored from the viewpoint of the
+player to move AT THAT NODE (negamax). The reference stores white-perspective
+and flips at use; negamax removes the flip bookkeeping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from katacoffee_tpu.game.board import GameConfig, GameState, legal_mask_flat, step
+from katacoffee_tpu.nn.features import extract_features
+from katacoffee_tpu.search.params import SearchParams
+
+# A tiny weight floor to avoid 0/0 in averages.
+_EPS = 1e-8
+
+
+class Tree(NamedTuple):
+    """Array-of-trees state. Leading dims: [B, N] (games × node slots)."""
+
+    states: GameState  # pytree, leaves [B, N, ...]
+    visits: jax.Array  # [B, N] int32
+    weight_sum: jax.Array  # [B, N] f32 — children weight + self weight
+    weight_sq_sum: jax.Array  # [B, N] f32
+    utility_avg: jax.Array  # [B, N] f32, node-mover perspective
+    utility_sq_avg: jax.Array  # [B, N] f32
+    wl_avg: jax.Array  # [B, N] f32 win-minus-loss prob avg (mover persp.)
+    self_utility: jax.Array  # [B, N] f32 raw NN/terminal utility
+    self_wl: jax.Array  # [B, N] f32 raw NN/terminal winloss
+    self_weight: jax.Array  # [B, N] f32 uncertainty-derived eval weight
+    prior: jax.Array  # [B, N, A] f32; illegal moves = -1
+    children: jax.Array  # [B, N, A] int32 child index or -1
+    parent: jax.Array  # [B, N] int32
+    parent_action: jax.Array  # [B, N] int32
+    is_terminal: jax.Array  # [B, N] bool
+    node_count: jax.Array  # [B] int32
+
+
+class EvalResult(NamedTuple):
+    """What an evaluator returns for a batch of states (the NNOutput of the
+    reference, nninputs.h:75-118, reduced to Coffee-relevant fields)."""
+
+    policy: jax.Array  # [B, A] probabilities over legal moves (sum 1)
+    utility: jax.Array  # [B] win-draw-loss utility, mover perspective
+    wl: jax.Array  # [B] win-minus-loss probability
+    shortterm_error: jax.Array  # [B]
+
+
+EvalFn = Callable[[GameState, jax.Array], EvalResult]  # (states[B], rng) -> ...
+
+
+# ---------------------------------------------------------------------------
+# Evaluators
+# ---------------------------------------------------------------------------
+
+
+def uniform_eval_fn(cfg: GameConfig) -> EvalFn:
+    """debugSkipNeuralNet-equivalent (nneval.h:93): uniform prior over legal
+    moves, zero value. Deterministic (the reference adds noise; we keep it
+    exact for test pinning)."""
+
+    def fn(states: GameState, rng: jax.Array) -> EvalResult:
+        legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(states)
+        cnt = jnp.maximum(legal.sum(-1, keepdims=True), 1)
+        policy = legal.astype(jnp.float32) / cnt
+        b = policy.shape[0]
+        return EvalResult(
+            policy=policy,
+            utility=jnp.zeros((b,), jnp.float32),
+            wl=jnp.zeros((b,), jnp.float32),
+            shortterm_error=jnp.full((b,), 0.5, jnp.float32),
+        )
+
+    return fn
+
+
+def make_nn_eval_fn(cfg: GameConfig, model, params, policy_optimism: float = 0.0) -> EvalFn:
+    """Wrap a CoffeeNet into an EvalFn: extract features, forward, mask+
+    normalize policy over legal moves, reduce value head to utility.
+    policyOptimism geometrically interpolates raw and optimistic policy
+    (searchparams.h:30)."""
+
+    def fn(states: GameState, rng: jax.Array) -> EvalResult:
+        spatial, glob = jax.vmap(functools.partial(extract_features, cfg))(states)
+        out = model.apply(params, spatial, glob)
+        logits = out["policy_logits"]
+        if policy_optimism > 0.0:
+            logits = (1.0 - policy_optimism) * logits + policy_optimism * out[
+                "optimistic_policy_logits"
+            ]
+        legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(states)
+        logits = jnp.where(legal, logits, -jnp.inf)
+        policy = jax.nn.softmax(logits, axis=-1)
+        policy = jnp.where(legal, policy, 0.0)
+        # value_logits: [win, loss, draw] of player to move
+        probs = jax.nn.softmax(out["value_logits"], axis=-1)
+        utility = probs[:, 0] - probs[:, 1]
+        return EvalResult(
+            policy=policy,
+            utility=utility,
+            wl=utility,
+            shortterm_error=out["shortterm_error"],
+        )
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+
+def _eval_weight(sp: SearchParams, shortterm_error: jax.Array) -> jax.Array:
+    """computeWeightFromNNOutput (searchupdatehelpers.cpp:103-121)."""
+    if not sp.useUncertainty:
+        return jnp.ones_like(shortterm_error)
+    err = sp.winLossUtilityFactor * shortterm_error
+    if sp.uncertaintyExponent != 1.0:
+        err = jnp.power(jnp.maximum(err, 0.0), sp.uncertaintyExponent)
+    baseline = sp.uncertaintyCoeff / sp.uncertaintyMaxWeight
+    return sp.uncertaintyCoeff / (err + baseline)
+
+
+def init_tree(
+    cfg: GameConfig,
+    sp: SearchParams,
+    eval_fn: EvalFn,
+    root_states: GameState,
+    max_nodes: int,
+    rng: jax.Array,
+    turn_number: jax.Array | None = None,
+) -> Tree:
+    """Allocate trees and evaluate the roots (beginSearch equivalent without
+    tree reuse). `turn_number` [B] drives early-game temperature interp."""
+    B = root_states.board.shape[0]
+    N = max_nodes
+    A = cfg.policy_size
+
+    def broadcast_slot(x):
+        return jnp.broadcast_to(x[:, None, ...], (B, N) + x.shape[1:]).copy()
+
+    states = jax.tree_util.tree_map(broadcast_slot, root_states)
+
+    k_eval, k_noise = jax.random.split(rng)
+    res = eval_fn(root_states, k_eval)
+    legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(root_states)
+
+    policy = res.policy
+    if turn_number is None:
+        turn_number = root_states.num_turns.astype(jnp.float32)
+    else:
+        turn_number = turn_number.astype(jnp.float32)
+
+    # Root policy temperature with early-game interpolation
+    # (searchhelpers.cpp maybeAddPolicyNoiseAndTemp / interpolateEarly)
+    if sp.rootPolicyTemperature != 1.0 or sp.rootPolicyTemperatureEarly != 1.0:
+        halflife = sp.chosenMoveTemperatureHalflife
+        frac = 0.5 ** (turn_number / halflife)
+        temp = sp.rootPolicyTemperature + frac * (
+            sp.rootPolicyTemperatureEarly - sp.rootPolicyTemperature
+        )
+        logp = jnp.log(jnp.maximum(policy, 1e-30)) / temp[:, None]
+        logp = jnp.where(legal, logp, -jnp.inf)
+        policy = jax.nn.softmax(logp, axis=-1)
+        policy = jnp.where(legal, policy, 0.0)
+
+    if sp.rootNoiseEnabled:
+        policy = _add_dirichlet_noise(sp, k_noise, policy, legal)
+
+    root_prior = jnp.where(legal, policy, -1.0)
+
+    w0 = _eval_weight(sp, res.shortterm_error)
+    root_term = root_states.done
+    # a done root scores as a terminal from the mover's perspective
+    term_util = _terminal_utility(root_states)
+    u0 = jnp.where(root_term, term_util, res.utility)
+    wl0 = jnp.where(root_term, term_util, res.wl)
+    w0 = jnp.where(root_term, 1.0, w0)
+
+    def slot0(val, fill):
+        arr = jnp.full((B, N), fill, dtype=val.dtype)
+        return arr.at[:, 0].set(val)
+
+    zf = jnp.zeros((B, N), jnp.float32)
+    tree = Tree(
+        states=states,
+        visits=slot0(jnp.ones((B,), jnp.int32), 0),
+        weight_sum=slot0(w0, 0.0),
+        weight_sq_sum=slot0(w0 * w0, 0.0),
+        utility_avg=slot0(u0, 0.0),
+        utility_sq_avg=slot0(u0 * u0, 0.0),
+        wl_avg=slot0(wl0, 0.0),
+        self_utility=slot0(u0, 0.0),
+        self_wl=slot0(wl0, 0.0),
+        self_weight=slot0(w0, 0.0),
+        prior=jnp.zeros((B, N, A), jnp.float32).at[:, 0].set(root_prior),
+        children=jnp.full((B, N, A), -1, jnp.int32),
+        parent=jnp.full((B, N), -1, jnp.int32),
+        parent_action=jnp.full((B, N), -1, jnp.int32),
+        is_terminal=jnp.zeros((B, N), bool).at[:, 0].set(root_term),
+        node_count=jnp.ones((B,), jnp.int32),
+    )
+    return tree
+
+
+def _terminal_utility(states: GameState) -> jax.Array:
+    """Utility of a finished game from the perspective of the player to move
+    (who did NOT make the final move): loss if there is a winner, 0 on draw.
+    Reference: boardhistory.cpp:171-175 (mover wins) + decision 8 (draw=0)."""
+    return jnp.where(states.winner == 0, 0.0, -1.0)
+
+
+def _add_dirichlet_noise(sp, rng, policy, legal):
+    """KataGo alpha allocation: half uniform, half excess-log-policy shaped
+    (searchhelpers.cpp computeDirichletAlphaDistribution + addDirichletNoise).
+    """
+    legal_f = legal.astype(jnp.float32)
+    n_legal = jnp.maximum(legal_f.sum(-1, keepdims=True), 1.0)
+    logp = jnp.log(jnp.minimum(policy, 0.01) + 1e-20)
+    log_mean = jnp.where(legal, logp, 0.0).sum(-1, keepdims=True) / n_legal
+    excess = jnp.where(legal, jnp.maximum(logp - log_mean, 0.0), 0.0)
+    excess_sum = excess.sum(-1, keepdims=True)
+    shaped = jnp.where(excess_sum > 0, excess / jnp.maximum(excess_sum, 1e-20), legal_f / n_legal)
+    alpha_prop = 0.5 * legal_f / n_legal + 0.5 * shaped
+    alpha = alpha_prop * sp.rootDirichletNoiseTotalConcentration
+    g = jax.random.gamma(rng, jnp.maximum(alpha, 1e-10))
+    g = jnp.where(legal & (alpha > 0), g, 0.0)
+    noise = g / jnp.maximum(g.sum(-1, keepdims=True), 1e-20)
+    w = sp.rootDirichletNoiseWeight
+    return jnp.where(legal, noise * w + policy * (1.0 - w), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Selection
+# ---------------------------------------------------------------------------
+
+
+def _select_action(cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: jax.Array):
+    """Vectorized selectBestChildToDescend (searchexplorehelpers.cpp:304-451).
+    node: [B] current node per game. Returns chosen action [B]."""
+    B = node.shape[0]
+    bidx = jnp.arange(B)
+    A = tree.prior.shape[-1]
+
+    prior = tree.prior[bidx, node]  # [B, A]
+    child = tree.children[bidx, node]  # [B, A]
+    has_child = child >= 0
+    cidx = jnp.maximum(child, 0)
+
+    child_w = jnp.where(has_child, tree.weight_sum[bidx[:, None], cidx], 0.0)
+    child_u_own = tree.utility_avg[bidx[:, None], cidx]
+    child_q = jnp.where(has_child, -child_u_own, 0.0)  # parent perspective
+
+    total_child_w = child_w.sum(-1)
+
+    # cpuct and explore scaling (searchexplorehelpers.cpp:9-25)
+    cpuct = sp.cpuctExploration + sp.cpuctExplorationLog * jnp.log(
+        (total_child_w + sp.cpuctExplorationBase) / sp.cpuctExplorationBase
+    )
+    # parent utility stdev factor (searchexplorehelpers.cpp:262-285)
+    if sp.cpuctUtilityStdevScale != 0.0:
+        w_sum = tree.weight_sum[bidx, node]
+        u = tree.utility_avg[bidx, node]
+        usq = jnp.maximum(tree.utility_sq_avg[bidx, node], u * u)
+        var_prior = sp.cpuctUtilityStdevPrior**2
+        pw = sp.cpuctUtilityStdevPriorWeight
+        stdev = jnp.sqrt(
+            jnp.maximum(
+                0.0,
+                ((u * u + var_prior) * pw + usq * w_sum) / (pw + jnp.maximum(w_sum - 1.0, _EPS))
+                - u * u,
+            )
+        )
+        stdev = jnp.where(w_sum <= 1.0, sp.cpuctUtilityStdevPrior, stdev)
+        stdev_factor = 1.0 + sp.cpuctUtilityStdevScale * (
+            stdev / sp.cpuctUtilityStdevPrior - 1.0
+        )
+    else:
+        stdev_factor = jnp.ones((B,), jnp.float32)
+    explore_scaling = cpuct * jnp.sqrt(total_child_w + 0.01) * stdev_factor
+
+    # FPU (searchexplorehelpers.cpp:286-300)
+    legal_prior = jnp.maximum(prior, 0.0)
+    mass_visited = jnp.where(has_child, legal_prior, 0.0).sum(-1)
+    parent_u = tree.utility_avg[bidx, node]
+    if sp.fpuParentWeight > 0.0:
+        parent_u = (
+            sp.fpuParentWeight * tree.self_utility[bidx, node]
+            + (1.0 - sp.fpuParentWeight) * parent_u
+        )
+    red_max = jnp.where(is_root, sp.rootFpuReductionMax, sp.fpuReductionMax)
+    loss_prop = jnp.where(is_root, sp.rootFpuLossProp, sp.fpuLossProp)
+    fpu = parent_u - red_max * jnp.sqrt(mass_visited)
+    fpu = fpu + (-sp.winLossUtilityFactor - fpu) * loss_prop
+
+    q = jnp.where(has_child, child_q, fpu[:, None])
+    selection = explore_scaling[:, None] * legal_prior / (1.0 + child_w) + q
+    selection = jnp.where(prior < 0, -jnp.inf, selection)
+
+    # Root forced playouts (searchexplorehelpers.cpp:150): a child with >0
+    # visits is forced until it has sqrt(coeff * P * totalChildWeight) visits.
+    if sp.rootDesiredPerChildVisitsCoeff > 0.0:
+        forced = jnp.sqrt(
+            sp.rootDesiredPerChildVisitsCoeff * legal_prior * total_child_w[:, None]
+        )
+        force = has_child & (child_w < forced) & (child_w > 0.0)
+        force = force & is_root[:, None]
+        selection = jnp.where(force, jnp.inf, selection)
+
+    return jnp.argmax(selection, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# One simulation for all B games
+# ---------------------------------------------------------------------------
+
+
+def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_depth: int):
+    B = tree.visits.shape[0]
+    bidx = jnp.arange(B)
+    A = tree.prior.shape[-1]
+
+    # ---------------- Descent ----------------
+    # Walk down until hitting a missing edge or a terminal node. Record path.
+    path0 = jnp.full((B, max_depth + 1), -1, jnp.int32)
+    path0 = path0.at[:, 0].set(0)
+
+    def cond(carry):
+        _, _, active, _, _ = carry
+        return jnp.any(active)
+
+    def body(carry):
+        node, depth, active, path, action = carry
+        is_root = node == 0
+        term = tree.is_terminal[bidx, node]
+        # stop at terminal node: it is the leaf
+        act = _select_action(cfg, sp, tree, node, is_root)
+        child = tree.children[bidx, node, act]
+        has_child = child >= 0
+        stop = term | ~has_child
+        move_on = active & ~stop
+        new_node = jnp.where(move_on, jnp.maximum(child, 0), node)
+        new_depth = jnp.where(move_on, depth + 1, depth)
+        path = path.at[bidx, jnp.where(move_on, new_depth, 0)].set(
+            jnp.where(move_on, new_node, path[:, 0])
+        )
+        action = jnp.where(active & ~term, act, action)
+        new_active = move_on & (new_depth < max_depth)
+        return new_node, new_depth, new_active, path, action
+
+    node0 = jnp.zeros((B,), jnp.int32)
+    depth0 = jnp.zeros((B,), jnp.int32)
+    active0 = jnp.ones((B,), bool)
+    action0 = jnp.zeros((B,), jnp.int32)
+    leaf, leaf_depth, _, path, action = jax.lax.while_loop(
+        cond, body, (node0, depth0, active0, path0, action0)
+    )
+
+    leaf_terminal = tree.is_terminal[bidx, leaf]
+
+    # ---------------- Expansion ----------------
+    # For non-terminal leaves: create the child via env step + NN eval.
+    leaf_states = jax.tree_util.tree_map(lambda x: x[bidx, leaf], tree.states)
+    new_states = jax.vmap(functools.partial(step, cfg))(leaf_states, action)
+    k_eval, rng = jax.random.split(rng)
+    res = eval_fn(new_states, k_eval)
+
+    new_idx = tree.node_count  # [B] next free slot
+    capacity_ok = new_idx < tree.visits.shape[1]
+    do_expand = ~leaf_terminal & capacity_ok
+
+    new_terminal = new_states.done
+    term_util = _terminal_utility(new_states)
+    legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(new_states)
+    new_prior = jnp.where(legal, res.policy, -1.0)
+    u_new = jnp.where(new_terminal, term_util, res.utility)
+    wl_new = jnp.where(new_terminal, term_util, res.wl)
+    w_new = jnp.where(new_terminal, 1.0, _eval_weight(sp, res.shortterm_error))
+
+    slot = jnp.where(do_expand, new_idx, 0)  # write target (slot 0 writes are masked)
+
+    def upd(arr, val):
+        old = arr[bidx, slot]
+        return arr.at[bidx, slot].set(jnp.where(do_expand, val, old))
+
+    tree = tree._replace(
+        states=jax.tree_util.tree_map(
+            lambda full, new: full.at[bidx, slot].set(
+                jnp.where(
+                    jnp.reshape(do_expand, (B,) + (1,) * (new.ndim - 1)),
+                    new,
+                    full[bidx, slot],
+                )
+            ),
+            tree.states,
+            new_states,
+        ),
+        visits=upd(tree.visits, jnp.ones((B,), jnp.int32)),
+        weight_sum=upd(tree.weight_sum, w_new),
+        weight_sq_sum=upd(tree.weight_sq_sum, w_new * w_new),
+        utility_avg=upd(tree.utility_avg, u_new),
+        utility_sq_avg=upd(tree.utility_sq_avg, u_new * u_new),
+        wl_avg=upd(tree.wl_avg, wl_new),
+        self_utility=upd(tree.self_utility, u_new),
+        self_wl=upd(tree.self_wl, wl_new),
+        self_weight=upd(tree.self_weight, w_new),
+        prior=tree.prior.at[bidx, slot].set(
+            jnp.where(do_expand[:, None], new_prior, tree.prior[bidx, slot])
+        ),
+        parent=upd(tree.parent, leaf),
+        parent_action=upd(tree.parent_action, action),
+        is_terminal=upd(tree.is_terminal, new_terminal),
+        children=tree.children.at[bidx, leaf, action].set(
+            jnp.where(do_expand, new_idx, tree.children[bidx, leaf, action])
+        ),
+        node_count=tree.node_count + do_expand.astype(jnp.int32),
+    )
+
+    # Terminal leaf (or capacity overflow): re-add its stored value
+    # (search.cpp:943-952). Incremental update of the leaf node itself.
+    revisit = ~do_expand
+    leaf_w = tree.self_weight[bidx, leaf]
+    leaf_u = tree.self_utility[bidx, leaf]
+    leaf_wl = tree.self_wl[bidx, leaf]
+    old_ws = tree.weight_sum[bidx, leaf]
+    new_ws = old_ws + leaf_w
+
+    def revisit_upd(arr, add_val):
+        old = arr[bidx, leaf]
+        upd_val = (old * old_ws + add_val * leaf_w) / jnp.maximum(new_ws, _EPS)
+        return arr.at[bidx, leaf].set(jnp.where(revisit, upd_val, old))
+
+    tree = tree._replace(
+        utility_avg=revisit_upd(tree.utility_avg, leaf_u),
+        utility_sq_avg=revisit_upd(tree.utility_sq_avg, leaf_u * leaf_u),
+        wl_avg=revisit_upd(tree.wl_avg, leaf_wl),
+        weight_sum=tree.weight_sum.at[bidx, leaf].set(
+            jnp.where(revisit, new_ws, tree.weight_sum[bidx, leaf])
+        ),
+        weight_sq_sum=tree.weight_sq_sum.at[bidx, leaf].set(
+            jnp.where(
+                revisit,
+                tree.weight_sq_sum[bidx, leaf] + leaf_w * leaf_w,
+                tree.weight_sq_sum[bidx, leaf],
+            )
+        ),
+        visits=tree.visits.at[bidx, leaf].add(revisit.astype(jnp.int32)),
+    )
+
+    # ---------------- Backup ----------------
+    # Recompute stats bottom-up along the path (updateStatsAfterPlayout →
+    # recomputeNodeStats for each ancestor, searchupdatehelpers.cpp:125-337).
+    # On expansion the deepest recomputed node is the new child's parent
+    # (path[leaf_depth]); on a terminal/overflow revisit the leaf itself was
+    # already updated incrementally above (addLeafValue semantics — terminal
+    # nodes have no children to aggregate), so start at its parent.
+    def backup_level(i, tr):
+        lvl = max_depth - 1 - i
+        n = path[:, lvl]
+        limit = jnp.where(revisit, leaf_depth - 1, leaf_depth)
+        on_path = (lvl <= limit) & (n >= 0)
+        return _recompute_node(cfg, sp, tr, n, on_path)
+
+    tree = jax.lax.fori_loop(0, max_depth, backup_level, tree)
+    return tree, rng
+
+
+def _norm_cdf(z):
+    return 0.5 * (1.0 + jax.lax.erf(z / jnp.sqrt(2.0)))
+
+
+def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: jax.Array):
+    """recomputeNodeStats for [B] nodes (searchupdatehelpers.cpp:152-337):
+    aggregate children with value-based downweighting, add self eval."""
+    B = node.shape[0]
+    bidx = jnp.arange(B)
+
+    child = tree.children[bidx, node]  # [B, A]
+    has_child = child >= 0
+    cidx = jnp.maximum(child, 0)
+    cw = jnp.where(has_child, tree.weight_sum[bidx[:, None], cidx], 0.0)
+    cu = jnp.where(has_child, -tree.utility_avg[bidx[:, None], cidx], 0.0)  # parent persp
+    cwl = jnp.where(has_child, -tree.wl_avg[bidx[:, None], cidx], 0.0)
+    cusq = jnp.where(has_child, tree.utility_sq_avg[bidx[:, None], cidx], 0.0)
+    cwsq = jnp.where(has_child, tree.weight_sq_sum[bidx[:, None], cidx], 0.0)
+
+    total_w = cw.sum(-1)
+
+    if sp.valueWeightExponent > 0:
+        # downweightBadChildrenAndNormalizeWeight (searchupdatehelpers.cpp:368+)
+        simple_value = jnp.where(
+            total_w > 0, (cu * cw).sum(-1) / jnp.maximum(total_w, _EPS), 0.0
+        )
+        precision = 1.5 * jnp.sqrt(jnp.maximum(cw, _EPS))
+        stdev = jnp.sqrt(1e-8 + 1.0 / precision)
+        z = (cu - simple_value[:, None]) / stdev
+        p = _norm_cdf(z) + 1e-4
+        w_adj = cw * jnp.power(p, sp.valueWeightExponent)
+        w_adj_sum = w_adj.sum(-1)
+        factor = jnp.where(w_adj_sum > 0, total_w / jnp.maximum(w_adj_sum, _EPS), 0.0)
+        w_adj = w_adj * factor[:, None]
+    else:
+        w_adj = cw
+
+    scaling = jnp.where(cw > 0, w_adj / jnp.maximum(cw, _EPS), 0.0)
+
+    self_w = tree.self_weight[bidx, node]
+    self_u = tree.self_utility[bidx, node]
+    self_wl_v = tree.self_wl[bidx, node]
+
+    weight_sum = w_adj.sum(-1) + self_w
+    utility_avg = ((w_adj * cu).sum(-1) + self_w * self_u) / jnp.maximum(weight_sum, _EPS)
+    utility_sq_avg = ((w_adj * cusq).sum(-1) + self_w * self_u * self_u) / jnp.maximum(
+        weight_sum, _EPS
+    )
+    wl_avg = ((w_adj * cwl).sum(-1) + self_w * self_wl_v) / jnp.maximum(weight_sum, _EPS)
+    weight_sq_sum = (scaling * scaling * cwsq).sum(-1) + self_w * self_w
+
+    def m(arr, val):
+        return arr.at[bidx, node].set(jnp.where(mask, val, arr[bidx, node]))
+
+    return tree._replace(
+        utility_avg=m(tree.utility_avg, utility_avg),
+        utility_sq_avg=m(tree.utility_sq_avg, utility_sq_avg),
+        wl_avg=m(tree.wl_avg, wl_avg),
+        weight_sum=m(tree.weight_sum, weight_sum),
+        weight_sq_sum=m(tree.weight_sq_sum, weight_sq_sum),
+        visits=tree.visits.at[bidx, node].add(mask.astype(jnp.int32)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Whole search
+# ---------------------------------------------------------------------------
+
+
+def run_search(
+    cfg: GameConfig,
+    sp: SearchParams,
+    eval_fn: EvalFn,
+    root_states: GameState,
+    num_sims: int,
+    rng: jax.Array,
+    max_nodes: int | None = None,
+) -> Tree:
+    """runWholeSearch equivalent (search.cpp:361-509): num_sims playouts for
+    each of the B games, fully on device. jit this (closing over cfg/sp/
+    eval_fn/num_sims)."""
+    if max_nodes is None:
+        max_nodes = num_sims + 2
+    max_depth = cfg.area + 1
+    k_init, k_sims = jax.random.split(rng)
+    tree = init_tree(cfg, sp, eval_fn, root_states, max_nodes, k_init)
+
+    def body(_, carry):
+        tree, rng = carry
+        k, rng = jax.random.split(rng)
+        tree, _ = _simulate_once(cfg, sp, eval_fn, tree, k, max_depth)
+        return tree, rng
+
+    tree, _ = jax.lax.fori_loop(0, num_sims, body, (tree, k_sims))
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# Results extraction (searchresults.cpp)
+# ---------------------------------------------------------------------------
+
+
+def root_visit_counts(tree: Tree) -> jax.Array:
+    """[B, A] visit counts of root children (edge visits == child visits in
+    tree mode)."""
+    B, N, A = tree.children.shape
+    bidx = jnp.arange(B)
+    child = tree.children[:, 0, :]
+    has = child >= 0
+    v = tree.visits[bidx[:, None], jnp.maximum(child, 0)]
+    return jnp.where(has, v, 0)
+
+
+def root_child_weights(tree: Tree) -> jax.Array:
+    B = tree.children.shape[0]
+    bidx = jnp.arange(B)
+    child = tree.children[:, 0, :]
+    has = child >= 0
+    w = tree.weight_sum[bidx[:, None], jnp.maximum(child, 0)]
+    return jnp.where(has, w, 0.0)
+
+
+def root_values(tree: Tree):
+    """Root aggregate values (ReportedSearchValues equivalent): utility and
+    winloss from the root mover's perspective, plus per-child Q [B, A]."""
+    B = tree.children.shape[0]
+    bidx = jnp.arange(B)
+    child = tree.children[:, 0, :]
+    has = child >= 0
+    cu = jnp.where(has, -tree.utility_avg[bidx[:, None], jnp.maximum(child, 0)], 0.0)
+    return {
+        "root_utility": tree.utility_avg[:, 0],
+        "root_wl": tree.wl_avg[:, 0],
+        "child_utility": cu,
+        "root_visits": tree.visits[:, 0],
+    }
+
+
+def _child_utility_stdev(tree: Tree):
+    """Per-root-child utility stdev for LCB (searchresults.cpp
+    getSelfUtilityLCBAndRadius semantics, simplified to weight-based
+    precision)."""
+    B = tree.children.shape[0]
+    bidx = jnp.arange(B)
+    child = tree.children[:, 0, :]
+    has = child >= 0
+    cidx = jnp.maximum(child, 0)
+    w = jnp.where(has, tree.weight_sum[bidx[:, None], cidx], 0.0)
+    u = -tree.utility_avg[bidx[:, None], cidx]
+    usq = tree.utility_sq_avg[bidx[:, None], cidx]
+    wsq = jnp.where(has, tree.weight_sq_sum[bidx[:, None], cidx], 0.0)
+    var = jnp.maximum(usq - u * u, 1e-8)
+    # effective sample size from weight distribution
+    ess = jnp.where(wsq > 0, w * w / jnp.maximum(wsq, _EPS), 1.0)
+    stdev = jnp.sqrt(var / jnp.maximum(ess, 1.0))
+    return jnp.where(has, u, -1e30), jnp.where(has, stdev, 1e30), w
+
+
+def select_moves(
+    cfg: GameConfig,
+    sp: SearchParams,
+    tree: Tree,
+    rng: jax.Array,
+    turn_number: jax.Array | None = None,
+) -> jax.Array:
+    """getChosenMoveLoc equivalent (searchresults.cpp): visit-count move
+    selection with optional LCB override and temperature. Returns [B] flat
+    actions."""
+    B = tree.children.shape[0]
+    visits = root_visit_counts(tree).astype(jnp.float32)  # [B, A]
+    legal = tree.prior[:, 0, :] >= 0
+
+    if sp.useLcbForSelection:
+        u, stdev, w = _child_utility_stdev(tree)
+        lcb = u - sp.lcbStdevs * stdev
+        max_v = visits.max(-1, keepdims=True)
+        eligible = (visits >= sp.minVisitPropForLCB * max_v) & (visits > 0)
+        lcb = jnp.where(eligible, lcb, -1e30)
+        best_lcb = lcb.max(-1, keepdims=True)
+        # pretend moves with worse LCB than the best have reduced weight:
+        # the simplified override picks the best-LCB move when its LCB beats
+        # the most-visited move's mean utility (useNonBuggyLcb semantics)
+        most_visited = jnp.argmax(visits, -1)
+        mv_u = jnp.take_along_axis(u, most_visited[:, None], axis=-1)
+        use_lcb = (best_lcb > mv_u).squeeze(-1)
+        lcb_choice = jnp.argmax(lcb, -1)
+    else:
+        use_lcb = jnp.zeros((B,), bool)
+        lcb_choice = jnp.zeros((B,), jnp.int32)
+
+    # temperature choice (chooseIndexWithTemperature)
+    if turn_number is None:
+        turn_number = tree.states.num_turns[:, 0].astype(jnp.float32)
+    else:
+        turn_number = turn_number.astype(jnp.float32)
+    frac = 0.5 ** (turn_number / sp.chosenMoveTemperatureHalflife)
+    temp = sp.chosenMoveTemperature + frac * (
+        sp.chosenMoveTemperatureEarly - sp.chosenMoveTemperature
+    )
+    temp = jnp.maximum(temp, 1e-4)
+
+    v = jnp.maximum(visits - sp.chosenMoveSubtract, 0.0)
+    v = jnp.where(visits < sp.chosenMovePrune, 0.0, v)
+    v = jnp.where(legal, v, 0.0)
+    logits = jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-30)) / temp[:, None], -jnp.inf)
+    # if no child has visits (can't happen after >=1 sim on a live game),
+    # fall back to argmax prior
+    any_v = (v > 0).any(-1)
+    fallback = jnp.argmax(jnp.where(legal, tree.prior[:, 0, :], -jnp.inf), -1)
+    sampled = jax.random.categorical(rng, logits, axis=-1)
+    greedy = jnp.argmax(v, -1)
+    # hard-argmax when temperature is effectively zero
+    choice = jnp.where(temp[:] <= 1e-3, greedy, sampled)
+    choice = jnp.where(any_v, choice, fallback)
+    return jnp.where(use_lcb, lcb_choice, choice).astype(jnp.int32)
+
+
+def policy_target(tree: Tree, sp: SearchParams) -> jax.Array:
+    """Training policy target from root visits with forced-playout pruning
+    (the reference subtracts forced playouts when extracting targets,
+    play.cpp:635 extractPolicyTarget + getPlaySelectionValues). v1: weights
+    proportional to child weight with the forced floor subtracted."""
+    w = root_child_weights(tree)
+    if sp.rootDesiredPerChildVisitsCoeff > 0.0:
+        prior = jnp.maximum(tree.prior[:, 0, :], 0.0)
+        total = w.sum(-1, keepdims=True)
+        forced = jnp.sqrt(sp.rootDesiredPerChildVisitsCoeff * prior * total)
+        # keep the best child untouched; subtract forced playouts elsewhere
+        best = jnp.argmax(w, -1, keepdims=True)
+        is_best = jnp.arange(w.shape[-1])[None, :] == best
+        w = jnp.where(is_best, w, jnp.maximum(w - forced, 0.0))
+        # moves reduced to <1 weight are pruned entirely
+        w = jnp.where(is_best | (w >= 1.0), w, 0.0)
+    total = w.sum(-1, keepdims=True)
+    return jnp.where(total > 0, w / jnp.maximum(total, _EPS), 0.0)

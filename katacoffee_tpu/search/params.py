@@ -1,0 +1,124 @@
+"""Search parameters — the TPU-relevant subset of the reference's ~80 knobs
+(`cpp/search/searchparams.{h,cpp}`), with the same names and the same default
+values (searchparams.cpp:8-92) so configs translate 1:1.
+
+Dropped knobs and why (documented per SURVEY.md §2.3):
+  * thread-machinery (numThreads, numVirtualLossesPerThread, mutex/table
+    shards, minPlayoutsPerThread): lockstep batched search has no threads —
+    parallelism is the game-batch axis.
+  * Go-specific (conservativePass, antiMirror, rootPruneUselessMoves's
+    pass-alive logic, playout doubling by color): N/A for Coffee; PDA itself
+    is kept (asymmetric-playout games are a selfplay data mode).
+  * time controls live in `katacoffee_tpu/search/timecontrols.py`.
+
+Params here are static (python scalars): changing them recompiles the search,
+matching the reference's compile-time-fixed Setup::loadParams usage pattern.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    winLossUtilityFactor: float = 1.0
+
+    # PUCT exploration (searchexplorehelpers.cpp:9-45)
+    cpuctExploration: float = 1.0
+    cpuctExplorationLog: float = 0.0
+    cpuctExplorationBase: float = 500.0
+    cpuctUtilityStdevPrior: float = 0.25
+    cpuctUtilityStdevPriorWeight: float = 1.0
+    cpuctUtilityStdevScale: float = 0.0
+
+    # First-play-urgency (searchexplorehelpers.cpp:245-300)
+    fpuReductionMax: float = 0.2
+    fpuLossProp: float = 0.0
+    fpuParentWeight: float = 0.0
+
+    policyOptimism: float = 0.0
+    rootPolicyOptimism: float = 0.0
+
+    # Value aggregation refinements
+    valueWeightExponent: float = 0.5
+    useNoisePruning: bool = False
+    noisePruneUtilityScale: float = 0.15
+    noisePruningCap: float = 1e50
+
+    # Uncertainty-weighted visits (searchupdatehelpers.cpp:98-121)
+    useUncertainty: bool = False
+    uncertaintyCoeff: float = 0.2
+    uncertaintyExponent: float = 1.0
+    uncertaintyMaxWeight: float = 8.0
+
+    # Graph search (transpositions); v1 array-tree search, flag reserved
+    useGraphSearch: bool = False
+    graphSearchCatchUpLeakProb: float = 0.0
+
+    # Root behavior
+    rootNoiseEnabled: bool = False
+    rootDirichletNoiseTotalConcentration: float = 10.83
+    rootDirichletNoiseWeight: float = 0.25
+    rootPolicyTemperature: float = 1.0
+    rootPolicyTemperatureEarly: float = 1.0
+    rootFpuReductionMax: float = 0.2
+    rootFpuLossProp: float = 0.0
+    rootNumSymmetriesToSample: int = 1
+    rootSymmetryPruning: bool = False
+    rootDesiredPerChildVisitsCoeff: float = 0.0
+
+    # Move choice
+    chosenMoveTemperature: float = 0.0
+    chosenMoveTemperatureEarly: float = 0.0
+    chosenMoveTemperatureHalflife: float = 19.0
+    chosenMoveSubtract: float = 0.0
+    chosenMovePrune: float = 1.0
+    useLcbForSelection: bool = False
+    lcbStdevs: float = 4.0
+    minVisitPropForLCB: float = 0.05
+
+    playoutDoublingAdvantage: float = 0.0
+    nnPolicyTemperature: float = 1.0
+
+    # Subtree value bias (searchparams.h:100-107); reserved, round-2 feature
+    subtreeValueBiasFactor: float = 0.0
+    subtreeValueBiasFreeProp: float = 0.8
+    subtreeValueBiasWeightExponent: float = 0.5
+
+    wideRootNoise: float = 0.0
+
+    @staticmethod
+    def for_tests_v2() -> "SearchParams":
+        """Mirror of SearchParams::forTestsV2 (searchparams.cpp:115+)."""
+        return SearchParams(
+            cpuctExploration=0.9,
+            cpuctExplorationLog=0.4,
+            rootFpuReductionMax=0.1,
+            rootPolicyTemperatureEarly=1.2,
+            rootPolicyTemperature=1.1,
+            useLcbForSelection=True,
+            lcbStdevs=5.0,
+            minVisitPropForLCB=0.15,
+        )
+
+    @staticmethod
+    def for_selfplay() -> "SearchParams":
+        """Selfplay operating point per the reference training config
+        (cpp/configs/training/selfplay1.cfg): root noise, forced playouts,
+        uncertainty + noise pruning + value-weighting active."""
+        return SearchParams(
+            cpuctExploration=1.0,
+            cpuctExplorationLog=0.45,
+            rootNoiseEnabled=True,
+            rootDesiredPerChildVisitsCoeff=2.0,
+            rootPolicyTemperatureEarly=1.25,
+            rootPolicyTemperature=1.1,
+            rootFpuReductionMax=0.1,
+            useUncertainty=True,
+            useNoisePruning=True,
+            valueWeightExponent=0.25,
+            chosenMoveTemperature=0.1,
+            chosenMoveTemperatureEarly=0.75,
+            chosenMoveTemperatureHalflife=19.0,
+        )

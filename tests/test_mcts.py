@@ -1,0 +1,288 @@
+"""Batched MCTS tests: invariants, scalar PUCT cross-check (the role of the
+reference's runsearchtests golden traces), tactical sanity, and the
+north-star batched uniform-prior config."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from katacoffee_tpu.game import GameConfig, init_state
+from katacoffee_tpu.game.board import legal_mask_flat, step
+from katacoffee_tpu.search import (
+    SearchParams,
+    init_tree,
+    root_values,
+    root_visit_counts,
+    run_search,
+    select_moves,
+    uniform_eval_fn,
+)
+
+CFG = GameConfig(5, 5, 4)
+
+
+def batched_roots(cfg, n, moves=()):
+    s = init_state(cfg)
+    for a in moves:
+        s = step(cfg, s, jnp.asarray(a, jnp.int32))
+    return jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (n,) + x.shape), s)
+
+
+@functools.lru_cache(maxsize=None)
+def searcher(sp: SearchParams, num_sims: int, cfg=CFG):
+    ev = uniform_eval_fn(cfg)
+    return jax.jit(
+        lambda roots, rng: run_search(cfg, sp, ev, roots, num_sims, rng)
+    )
+
+
+class ScalarMCTS:
+    """Independent scalar implementation of the same PUCT/backup math
+    (float32), used to pin the batched implementation move-for-move."""
+
+    def __init__(self, cfg, sp, root_state):
+        self.cfg, self.sp = cfg, sp
+        self.nodes = []
+        self.root_state = root_state
+
+    def _legal(self, state):
+        return np.asarray(legal_mask_flat(self.cfg, state))
+
+    def _new_node(self, state, parent):
+        legal = self._legal(state)
+        n = max(legal.sum(), 1)
+        prior = np.where(legal, np.float32(1.0) / np.float32(n), np.float32(-1.0))
+        term = bool(state.done)
+        u = np.float32(0.0 if not term else (0.0 if int(state.winner) == 0 else -1.0))
+        node = dict(
+            state=state, prior=prior, children={}, parent=parent,
+            w=np.float32(1.0), u=u, usq=u * u, self_u=u, term=term, visits=1,
+        )
+        self.nodes.append(node)
+        return len(self.nodes) - 1
+
+    def run(self, num_sims):
+        sp = self.sp
+        self._new_node(self.root_state, -1)
+        for _ in range(num_sims):
+            # descend
+            path = [0]
+            action = None
+            while True:
+                nd = self.nodes[path[-1]]
+                if nd["term"]:
+                    action = None
+                    break
+                prior = nd["prior"]
+                A = prior.shape[0]
+                child_w = np.zeros(A, np.float32)
+                child_q = np.zeros(A, np.float32)
+                has = np.zeros(A, bool)
+                for a, ci in nd["children"].items():
+                    c = self.nodes[ci]
+                    child_w[a] = c["w"]
+                    child_q[a] = -c["u"]
+                    has[a] = True
+                W = np.float32(child_w.sum())
+                cpuct = np.float32(
+                    sp.cpuctExploration
+                    + sp.cpuctExplorationLog
+                    * np.log((W + sp.cpuctExplorationBase) / sp.cpuctExplorationBase)
+                )
+                scaling = cpuct * np.sqrt(W + np.float32(0.01))
+                mass = np.float32(np.where(has, np.maximum(prior, 0), 0).sum())
+                is_root = len(path) == 1
+                red = sp.rootFpuReductionMax if is_root else sp.fpuReductionMax
+                fpu = nd["u"] - np.float32(red) * np.sqrt(mass)
+                q = np.where(has, child_q, fpu)
+                sel = scaling * np.maximum(prior, 0) / (1.0 + child_w) + q
+                sel = np.where(prior < 0, -np.inf, sel)
+                a = int(np.argmax(sel))
+                if a in nd["children"]:
+                    path.append(nd["children"][a])
+                else:
+                    action = a
+                    break
+            leaf_i = path[-1]
+            leaf = self.nodes[leaf_i]
+            if leaf["term"]:
+                # revisit: incremental add of stored value
+                old_w = leaf["w"]
+                leaf["w"] = old_w + 1
+                leaf["u"] = (leaf["u"] * old_w + leaf["self_u"]) / leaf["w"]
+                leaf["visits"] += 1
+                recompute_from = len(path) - 2
+            else:
+                new_state = step(self.cfg, leaf["state"], jnp.asarray(action, jnp.int32))
+                ci = self._new_node(new_state, leaf_i)
+                leaf["children"][action] = ci
+                recompute_from = len(path) - 1
+            for i in range(recompute_from, -1, -1):
+                self._recompute(path[i])
+
+    def _recompute(self, ni):
+        nd = self.nodes[ni]
+        cw = np.float32(0)
+        cu_sum = np.float32(0)
+        for a, ci in nd["children"].items():
+            c = self.nodes[ci]
+            cw += c["w"]
+            cu_sum += c["w"] * np.float32(-c["u"])
+        w = cw + 1.0  # self weight 1
+        nd["u"] = (cu_sum + nd["self_u"]) / w
+        nd["w"] = w
+        nd["visits"] += 1
+
+    def root_visits(self):
+        A = self.nodes[0]["prior"].shape[0]
+        out = np.zeros(A, np.int64)
+        for a, ci in self.nodes[0]["children"].items():
+            out[a] = self.nodes[ci]["visits"]
+        return out
+
+
+SIMPLE = SearchParams(valueWeightExponent=0.0)
+
+
+class TestInvariants:
+    def test_visit_conservation_and_values(self):
+        sp = SIMPLE
+        num_sims = 50
+        roots = batched_roots(CFG, 8)
+        tree = searcher(sp, num_sims)(roots, jax.random.PRNGKey(0))
+        rv = np.asarray(root_visit_counts(tree))
+        root_visits = np.asarray(tree.visits[:, 0])
+        np.testing.assert_array_equal(root_visits, 1 + num_sims)
+        # children visits account for all playouts that left the root
+        np.testing.assert_array_equal(rv.sum(-1), num_sims)
+        vals = root_values(tree)
+        assert np.all(np.abs(np.asarray(vals["root_utility"])) <= 1.0 + 1e-5)
+        # identical games, same seed -> identical trees across batch
+        assert (rv == rv[0]).all()
+
+    def test_terminal_root_no_crash(self):
+        # play a full random game, then search from the done state
+        import random
+
+        from tests.oracle import OracleGame
+
+        rnd = random.Random(3)
+        g = OracleGame()
+        moves = []
+        while not g.done:
+            x, y, d = rnd.choice(g.legal_moves())
+            g.play(x, y, d)
+            moves.append(d * 25 + y * 5 + x)
+        roots = batched_roots(CFG, 4, moves)
+        tree = searcher(SIMPLE, 10)(roots, jax.random.PRNGKey(1))
+        assert np.asarray(tree.node_count).max() == 1  # nothing expanded
+        assert np.asarray(tree.visits[:, 0]).min() == 11
+
+
+class TestScalarParity:
+    @pytest.mark.parametrize("moves", [(), (2 * 25 + 12,), (12, 1 * 25 + 10)])
+    def test_visit_counts_match_scalar(self, moves):
+        sp = SIMPLE
+        num_sims = 60
+        roots = batched_roots(CFG, 2, moves)
+        tree = searcher(sp, num_sims)(roots, jax.random.PRNGKey(0))
+        rv = np.asarray(root_visit_counts(tree))[0]
+
+        s = init_state(CFG)
+        for a in moves:
+            s = step(CFG, s, jnp.asarray(a, jnp.int32))
+        oracle = ScalarMCTS(CFG, sp, s)
+        oracle.run(num_sims)
+        np.testing.assert_array_equal(rv, oracle.root_visits())
+
+
+class TestTactics:
+    def test_finds_immediate_win(self):
+        """Construct a position where the mover completes 4-in-a-row; the
+        winning move must dominate visits even with a uniform prior."""
+        import random
+
+        from tests.oracle import OracleGame
+
+        # find a position with a winning move via oracle search
+        found = None
+        for seed in range(200):
+            rnd = random.Random(seed)
+            g = OracleGame()
+            moves = []
+            while not g.done:
+                lm = g.legal_moves()
+                # check if any move wins immediately
+                winmove = None
+                for x, y, d in lm:
+                    import copy
+
+                    g2 = copy.deepcopy(g)
+                    g2.play(x, y, d)
+                    if g2.winner == g.to_move:
+                        winmove = (x, y, d)
+                        break
+                if winmove and len(moves) >= 4:
+                    found = (moves, winmove, g.to_move)
+                    break
+                x, y, d = rnd.choice(lm)
+                g.play(x, y, d)
+                moves.append((x, y, d))
+            if found:
+                break
+        assert found is not None
+        moves, (wx, wy, wd), mover = found
+        flat_moves = [d * 25 + y * 5 + x for x, y, d in moves]
+        win_action = wd * 25 + wy * 5 + wx
+        roots = batched_roots(CFG, 2, flat_moves)
+        tree = searcher(SIMPLE, 100)(roots, jax.random.PRNGKey(0))
+        rv = np.asarray(root_visit_counts(tree))[0]
+        assert rv.argmax() == win_action, (rv[win_action], rv.max())
+        # and the root value should be clearly winning
+        assert float(root_values(tree)["root_utility"][0]) > 0.5
+
+
+class TestMoveSelection:
+    def test_zero_temperature_is_argmax_visits(self):
+        sp = SIMPLE
+        roots = batched_roots(CFG, 4)
+        tree = searcher(sp, 40)(roots, jax.random.PRNGKey(0))
+        rv = np.asarray(root_visit_counts(tree))
+        sel = jax.jit(
+            lambda t, k: select_moves(CFG, sp, t, k)
+        )(tree, jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(sel), rv.argmax(-1))
+
+    def test_temperature_sampling_is_legal(self):
+        sp = SearchParams(
+            valueWeightExponent=0.0,
+            chosenMoveTemperature=1.0,
+            chosenMoveTemperatureEarly=1.0,
+        )
+        roots = batched_roots(CFG, 16)
+        tree = searcher(sp, 30)(roots, jax.random.PRNGKey(0))
+        legal = np.asarray(tree.prior[:, 0, :] >= 0)
+        for k in range(3):
+            sel = np.asarray(
+                jax.jit(lambda t, kk: select_moves(CFG, sp, t, kk))(
+                    tree, jax.random.PRNGKey(k)
+                )
+            )
+            assert legal[np.arange(16), sel].all()
+
+
+class TestNorthStarConfig2:
+    def test_256_games_100_visits(self):
+        """BASELINE.json config 2: batched uniform-prior MCTS, 256 parallel
+        games, 100 visits/move, correct PUCT math (invariants + cross-batch
+        determinism)."""
+        sp = SIMPLE
+        roots = batched_roots(CFG, 256)
+        tree = searcher(sp, 100)(roots, jax.random.PRNGKey(0))
+        rv = np.asarray(root_visit_counts(tree))
+        np.testing.assert_array_equal(np.asarray(tree.visits[:, 0]), 101)
+        np.testing.assert_array_equal(rv.sum(-1), 100)
+        assert (rv == rv[0]).all()
