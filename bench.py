@@ -1,0 +1,81 @@
+"""Headline benchmark: selfplay throughput on the real TPU chip.
+
+Runs the full selfplay hot path — batched KataGo-style MCTS (600 visits/move,
+the reference's training operating point, cpp/configs/training/selfplay1.cfg)
+with the b6c96 flagship net evaluated in-graph — and reports MCTS simulations
+per second (NN-evaluated playouts/s, the quantity `katago benchmark` calls
+visits/s, cpp/command/benchmark.cpp:894-896).
+
+The reference publishes no Coffee numbers (BASELINE.md). `vs_baseline` is
+computed against 20,000 visits/s — a generous estimate of the repaired C++
+reference with b6c96 on one strong GPU host at this operating point (KataGo
+b6c96-class throughput); revise when a measured reference baseline exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+REFERENCE_VISITS_PER_SEC_ESTIMATE = 20_000.0
+
+
+def main():
+    from katacoffee_tpu.game import GameConfig, init_state
+    from katacoffee_tpu.nn.configs import get_model_spec
+    from katacoffee_tpu.nn.model import CoffeeNet, init_params
+    from katacoffee_tpu.search import SearchParams, make_nn_eval_fn
+    from katacoffee_tpu.selfplay import SelfplaySettings, run_selfplay_segment
+
+    cfg = GameConfig(5, 5, 4)
+    sp = SearchParams.for_selfplay()
+    num_sims = 600
+    B = 256
+    moves_timed = 4
+
+    model = CoffeeNet(get_model_spec("b6c96"), win_len=cfg.win_len)
+    params = init_params(model, cfg, jax.random.PRNGKey(0))
+    eval_fn = make_nn_eval_fn(cfg, model, params)
+    settings = SelfplaySettings(num_sims=num_sims)
+
+    states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))
+    ep = jnp.zeros((B,), jnp.int32)
+
+    # one-move segment reused for warmup and timing (single compile)
+    seg = jax.jit(
+        lambda s, e, r: run_selfplay_segment(cfg, sp, settings, eval_fn, s, e, r, 1)
+    )
+
+    # warmup/compile
+    s2, e2, traj = seg(states, ep, jax.random.PRNGKey(0))
+    jax.block_until_ready(traj.played_action)
+
+    t0 = time.perf_counter()
+    for i in range(moves_timed):
+        s2, e2, traj = seg(s2, e2, jax.random.PRNGKey(1 + i))
+    jax.block_until_ready(traj.played_action)
+    dt = time.perf_counter() - t0
+
+    sims_per_sec = B * num_sims * moves_timed / dt
+    print(
+        json.dumps(
+            {
+                "metric": "selfplay_mcts_sims_per_sec_b6c96_600visits",
+                "value": round(sims_per_sec, 1),
+                "unit": "sims/s",
+                "vs_baseline": round(sims_per_sec / REFERENCE_VISITS_PER_SEC_ESTIMATE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -218,6 +218,11 @@ class ValueHead(nn.Module):
         value_logits = nn.Dense(
             3, kernel_init=nn.initializers.variance_scaling(0.09, "fan_in", "truncated_normal")
         )(v2)  # win/loss/draw of player to move
+        # TD value heads: 3 horizons × (win/loss/draw), the reference's
+        # miscvaluehead td-value outputs (metrics_pytorch.py loss_td_value)
+        td_value_logits = nn.Dense(
+            9, kernel_init=nn.initializers.variance_scaling(0.09, "fan_in", "truncated_normal")
+        )(v2).reshape(-1, 3, 3)
         misc = nn.Dense(2)(v2)
         # v14 semantics: squared softplus keeps error/variance predictions
         # positive with stable gradients (model_pytorch.py postprocessing)
@@ -240,6 +245,7 @@ class ValueHead(nn.Module):
         line_logits = jnp.transpose(line_logits, (0, 3, 1, 2))  # [B,L+1,H,W]
         return {
             "value_logits": value_logits,
+            "td_value_logits": td_value_logits,
             "var_time_left": var_time_left,
             "shortterm_error": shortterm_error,
             "ownership": ownership,

@@ -69,8 +69,10 @@ class Tree(NamedTuple):
     utility_avg: jax.Array  # [B, N] f32, node-mover perspective
     utility_sq_avg: jax.Array  # [B, N] f32
     wl_avg: jax.Array  # [B, N] f32 win-minus-loss prob avg (mover persp.)
+    draw_avg: jax.Array  # [B, N] f32 draw probability avg (side-agnostic)
     self_utility: jax.Array  # [B, N] f32 raw NN/terminal utility
     self_wl: jax.Array  # [B, N] f32 raw NN/terminal winloss
+    self_draw: jax.Array  # [B, N] f32 raw NN/terminal draw prob
     self_weight: jax.Array  # [B, N] f32 uncertainty-derived eval weight
     prior: jax.Array  # [B, N, A] f32; illegal moves = -1
     children: jax.Array  # [B, N, A] int32 child index or -1
@@ -87,6 +89,7 @@ class EvalResult(NamedTuple):
     policy: jax.Array  # [B, A] probabilities over legal moves (sum 1)
     utility: jax.Array  # [B] win-draw-loss utility, mover perspective
     wl: jax.Array  # [B] win-minus-loss probability
+    draw: jax.Array  # [B] draw probability
     shortterm_error: jax.Array  # [B]
 
 
@@ -112,6 +115,7 @@ def uniform_eval_fn(cfg: GameConfig) -> EvalFn:
             policy=policy,
             utility=jnp.zeros((b,), jnp.float32),
             wl=jnp.zeros((b,), jnp.float32),
+            draw=jnp.zeros((b,), jnp.float32),
             shortterm_error=jnp.full((b,), 0.5, jnp.float32),
         )
 
@@ -143,6 +147,7 @@ def make_nn_eval_fn(cfg: GameConfig, model, params, policy_optimism: float = 0.0
             policy=policy,
             utility=utility,
             wl=utility,
+            draw=probs[:, 2],
             shortterm_error=out["shortterm_error"],
         )
 
@@ -219,6 +224,7 @@ def init_tree(
     term_util = _terminal_utility(root_states)
     u0 = jnp.where(root_term, term_util, res.utility)
     wl0 = jnp.where(root_term, term_util, res.wl)
+    d0 = jnp.where(root_term, (root_states.winner == 0).astype(jnp.float32), res.draw)
     w0 = jnp.where(root_term, 1.0, w0)
 
     def slot0(val, fill):
@@ -234,8 +240,10 @@ def init_tree(
         utility_avg=slot0(u0, 0.0),
         utility_sq_avg=slot0(u0 * u0, 0.0),
         wl_avg=slot0(wl0, 0.0),
+        draw_avg=slot0(d0, 0.0),
         self_utility=slot0(u0, 0.0),
         self_wl=slot0(wl0, 0.0),
+        self_draw=slot0(d0, 0.0),
         self_weight=slot0(w0, 0.0),
         prior=jnp.zeros((B, N, A), jnp.float32).at[:, 0].set(root_prior),
         children=jnp.full((B, N, A), -1, jnp.int32),
@@ -419,6 +427,9 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
     new_prior = jnp.where(legal, res.policy, -1.0)
     u_new = jnp.where(new_terminal, term_util, res.utility)
     wl_new = jnp.where(new_terminal, term_util, res.wl)
+    d_new = jnp.where(
+        new_terminal, (new_states.winner == 0).astype(jnp.float32), res.draw
+    )
     w_new = jnp.where(new_terminal, 1.0, _eval_weight(sp, res.shortterm_error))
 
     slot = jnp.where(do_expand, new_idx, 0)  # write target (slot 0 writes are masked)
@@ -445,8 +456,10 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
         utility_avg=upd(tree.utility_avg, u_new),
         utility_sq_avg=upd(tree.utility_sq_avg, u_new * u_new),
         wl_avg=upd(tree.wl_avg, wl_new),
+        draw_avg=upd(tree.draw_avg, d_new),
         self_utility=upd(tree.self_utility, u_new),
         self_wl=upd(tree.self_wl, wl_new),
+        self_draw=upd(tree.self_draw, d_new),
         self_weight=upd(tree.self_weight, w_new),
         prior=tree.prior.at[bidx, slot].set(
             jnp.where(do_expand[:, None], new_prior, tree.prior[bidx, slot])
@@ -466,6 +479,7 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
     leaf_w = tree.self_weight[bidx, leaf]
     leaf_u = tree.self_utility[bidx, leaf]
     leaf_wl = tree.self_wl[bidx, leaf]
+    leaf_draw = tree.self_draw[bidx, leaf]
     old_ws = tree.weight_sum[bidx, leaf]
     new_ws = old_ws + leaf_w
 
@@ -478,6 +492,7 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
         utility_avg=revisit_upd(tree.utility_avg, leaf_u),
         utility_sq_avg=revisit_upd(tree.utility_sq_avg, leaf_u * leaf_u),
         wl_avg=revisit_upd(tree.wl_avg, leaf_wl),
+        draw_avg=revisit_upd(tree.draw_avg, leaf_draw),
         weight_sum=tree.weight_sum.at[bidx, leaf].set(
             jnp.where(revisit, new_ws, tree.weight_sum[bidx, leaf])
         ),
@@ -525,6 +540,7 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
     cw = jnp.where(has_child, tree.weight_sum[bidx[:, None], cidx], 0.0)
     cu = jnp.where(has_child, -tree.utility_avg[bidx[:, None], cidx], 0.0)  # parent persp
     cwl = jnp.where(has_child, -tree.wl_avg[bidx[:, None], cidx], 0.0)
+    cdraw = jnp.where(has_child, tree.draw_avg[bidx[:, None], cidx], 0.0)
     cusq = jnp.where(has_child, tree.utility_sq_avg[bidx[:, None], cidx], 0.0)
     cwsq = jnp.where(has_child, tree.weight_sq_sum[bidx[:, None], cidx], 0.0)
 
@@ -551,6 +567,7 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
     self_w = tree.self_weight[bidx, node]
     self_u = tree.self_utility[bidx, node]
     self_wl_v = tree.self_wl[bidx, node]
+    self_draw_v = tree.self_draw[bidx, node]
 
     weight_sum = w_adj.sum(-1) + self_w
     utility_avg = ((w_adj * cu).sum(-1) + self_w * self_u) / jnp.maximum(weight_sum, _EPS)
@@ -558,6 +575,9 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
         weight_sum, _EPS
     )
     wl_avg = ((w_adj * cwl).sum(-1) + self_w * self_wl_v) / jnp.maximum(weight_sum, _EPS)
+    draw_avg = ((w_adj * cdraw).sum(-1) + self_w * self_draw_v) / jnp.maximum(
+        weight_sum, _EPS
+    )
     weight_sq_sum = (scaling * scaling * cwsq).sum(-1) + self_w * self_w
 
     def m(arr, val):
@@ -567,6 +587,7 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
         utility_avg=m(tree.utility_avg, utility_avg),
         utility_sq_avg=m(tree.utility_sq_avg, utility_sq_avg),
         wl_avg=m(tree.wl_avg, wl_avg),
+        draw_avg=m(tree.draw_avg, draw_avg),
         weight_sum=m(tree.weight_sum, weight_sum),
         weight_sq_sum=m(tree.weight_sq_sum, weight_sq_sum),
         visits=tree.visits.at[bidx, node].add(mask.astype(jnp.int32)),
@@ -642,6 +663,7 @@ def root_values(tree: Tree):
     return {
         "root_utility": tree.utility_avg[:, 0],
         "root_wl": tree.wl_avg[:, 0],
+        "root_draw": tree.draw_avg[:, 0],
         "child_utility": cu,
         "root_visits": tree.visits[:, 0],
     }

@@ -1,0 +1,7 @@
+from katacoffee_tpu.selfplay.actor import (
+    SelfplaySettings,
+    Trajectory,
+    TrainingBatch,
+    run_selfplay_segment,
+    finalize_targets,
+)

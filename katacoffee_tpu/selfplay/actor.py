@@ -1,0 +1,339 @@
+"""Lockstep selfplay actor: the TPU inversion of the reference's
+thread-per-game selfplay (`cpp/command/selfplay.cpp`, `cpp/program/play.cpp`).
+
+Where the reference runs numGameThreads CPU threads each stepping one game and
+funneling NN evals into a batching server (SURVEY.md §2.8 P2-P3), here ONE
+jitted `lax.scan` advances B games a move at a time: every move runs the
+batched MCTS (`search/mcts.py`), so the NN forward always sees [B × …] work.
+Finished games auto-reset inside the scan, keeping the batch dense (the
+reference's ragged-game problem disappears; SURVEY.md §7 "hard parts").
+
+Per-move data capture mirrors Play::runGame's target extraction
+(play.cpp:1300-1326): policy target from play-selection weights (with
+forced-playout pruning), root value estimates for TD targets, played action,
+plus game-end back-fill of final outcome / ownership / longest-line targets
+(play.cpp:1431-1459) done as a reverse scan in `finalize_targets`.
+
+Deliberate round-1 deviations from the reference's data tricks (documented,
+SURVEY.md §2.5):
+  * no cheap/reduced-search move randomization (getSearchLimitsThisMove,
+    play.cpp:871-1005): its purpose is saving compute on moves that produce
+    weight-0 rows; in lockstep batching, skipping per-game saves nothing, so
+    every move gets full visits (strictly better data);
+  * no policy-initialized openings / game forking yet — opening diversity
+    comes from Dirichlet noise + early temperature; planned round 2;
+  * resignation disabled, as in training selfplay (selfplay configs keep
+    full-data games; play.cpp:1432 context).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from katacoffee_tpu.game.board import GameConfig, GameState, init_state, step
+from katacoffee_tpu.search import mcts
+from katacoffee_tpu.search.params import SearchParams
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfplaySettings:
+    """Selfplay data knobs (the live subset of the reference PlaySettings,
+    playsettings.h:6-94)."""
+
+    num_sims: int = 100
+    max_nodes: int | None = None  # default num_sims + 2
+    # TD lambdas, from the reference's boardArea-scaled formulas
+    # (trainingwrite.h:141-146): lambda = 1 - 1/(1 + boardArea * c)
+    td_coeffs: tuple = (0.176, 0.056, 0.016)
+
+
+class Trajectory(NamedTuple):
+    """Per-(move, game) records from a selfplay segment. Leaves [T, B, ...].
+    States are the positions BEFORE each move; compact enough to re-derive
+    NN features on device at train time (cheaper than storing planes)."""
+
+    states: GameState
+    policy_target: jax.Array  # [T, B, A]
+    played_action: jax.Array  # [T, B]
+    root_wl: jax.Array  # [T, B] search winloss, mover perspective
+    root_draw: jax.Array  # [T, B] search draw probability
+    root_visits: jax.Array  # [T, B]
+    done_after: jax.Array  # [T, B] game ended on this move
+    winner_after: jax.Array  # [T, B] winner if ended (0 draw)
+    final_board: jax.Array  # [T, B, Y, X] filled during finalize
+    episode_id: jax.Array  # [T, B] running episode counter per game
+
+
+class TrainingBatch(NamedTuple):
+    """Finalized training rows (flattened [R, ...]). The on-device analogue of
+    the reference npz row schema (trainingwrite.h:112-197); see
+    selfplay/data.py for the serialized form."""
+
+    states: GameState
+    policy_target: jax.Array  # [R, A]
+    opponent_policy_target: jax.Array  # [R, A] next turn's policy target
+    value_target: jax.Array  # [R, 3] win/loss/draw one-hot, mover persp.
+    td_value_targets: jax.Array  # [R, num_lambdas, 3] win/loss/draw probs
+    ownership_target: jax.Array  # [R, Y, X] -1/0/+1 mover persp.
+    line_target: jax.Array  # [R, Y, X] int32 final per-cell longest run
+    futurepos_target: jax.Array  # [R, 2, Y, X] ±1/0 boards at +2, +4 plies
+    var_time_left_target: jax.Array  # [R] turns until game end
+    shortterm_value_target: jax.Array  # [R] next-step search wl (mover persp.)
+    weight: jax.Array  # [R] row weight (0 = masked/incomplete episode)
+    opponent_policy_weight: jax.Array  # [R] 0 on final rows of an episode
+
+
+def run_selfplay_segment(
+    cfg: GameConfig,
+    sp: SearchParams,
+    settings: SelfplaySettings,
+    eval_fn: mcts.EvalFn,
+    states: GameState,
+    episode_id: jax.Array,
+    rng: jax.Array,
+    num_moves: int,
+):
+    """Advance B games `num_moves` plies. Returns (new_states, new_episode_id,
+    Trajectory). jit with static cfg/sp/settings/eval_fn/num_moves."""
+
+    def one_move(carry, key):
+        st, ep = carry
+        k_search, k_move = jax.random.split(key)
+        tree = mcts.run_search(
+            cfg, sp, eval_fn, st, settings.num_sims, k_search, settings.max_nodes
+        )
+        pt = mcts.policy_target(tree, sp)
+        action = mcts.select_moves(cfg, sp, tree, k_move)
+        vals = mcts.root_values(tree)
+        nxt = jax.vmap(functools.partial(step, cfg))(st, action)
+        rec = dict(
+            states=st,
+            policy_target=pt,
+            played_action=action,
+            root_wl=vals["root_wl"],
+            root_draw=vals["root_draw"],
+            root_visits=tree.visits[:, 0],
+            done_after=nxt.done,
+            winner_after=nxt.winner,
+            final_board=nxt.board,
+            episode_id=ep,
+        )
+        # auto-reset finished games
+        fresh = jax.vmap(lambda _: init_state(cfg))(jnp.arange(st.board.shape[0]))
+        new_st = jax.tree_util.tree_map(
+            lambda n, f: jnp.where(
+                jnp.reshape(nxt.done, (-1,) + (1,) * (n.ndim - 1)), f, n
+            ),
+            nxt,
+            fresh,
+        )
+        new_ep = ep + nxt.done.astype(jnp.int32)
+        return (new_st, new_ep), rec
+
+    keys = jax.random.split(rng, num_moves)
+    (new_states, new_ep), recs = jax.lax.scan(one_move, (states, episode_id), keys)
+    traj = Trajectory(**recs)
+    return new_states, new_ep, traj
+
+
+def finalize_targets(
+    cfg: GameConfig, settings: SelfplaySettings, traj: Trajectory
+) -> TrainingBatch:
+    """Reverse-scan the segment back-filling episode-final targets
+    (play.cpp:1431-1459 + trainingwrite.cpp:400-561 semantics):
+      * final game result (win/loss/draw one-hot + z in [-1,1]);
+      * TD(lambda) value targets mixing future search values with z
+        (trainingwrite.h:141-146), negamax-alternating;
+      * final-board ownership (mover perspective) and per-cell longest line;
+      * future position maps (+1, +2);
+      * varTimeLeft = plies until game end;
+      * rows from episodes that did not finish inside the segment get
+        weight 0 (the lockstep analogue of the reference never truncating).
+    All [T, B] vectorized; returns flattened [T*B] rows.
+    """
+    T, B = traj.played_action.shape
+    area = cfg.area
+
+    from katacoffee_tpu.game.board import per_cell_max_run
+
+    lambdas = [
+        1.0 - 1.0 / (1.0 + area * c) for c in settings.td_coeffs
+    ]
+
+    # z at each row: outcome for the mover at that row, backfilled in reverse.
+    # done_after[t]: episode ended at t; winner_after[t] in {0,1,2}.
+    mover = traj.states.to_move.astype(jnp.int32)  # [T, B]
+
+    def rev_body(carry, xs):
+        # carry (all refer to row t+1's episode unless noted):
+        #   valid: does the episode containing row t+1 finish in-segment
+        #   z_next/td_next: backed-up outcome / TD targets at t+1
+        #   steps: plies from t+1 to episode end
+        #   fboard: final board of episode containing t+1
+        #   next_pt/next_wl: policy target / root value at t+1
+        #   a1..a3: boards after moves t+1, t+2, t+3, clipped to the final
+        #           board once the episode ends (for futurepos targets)
+        (
+            valid, z_next, td_next, td_draw_next, steps, fboard,
+            next_pt, next_wl, a1, a2, a3,
+        ) = carry
+        (done_t, winner_t, mover_t, wl_t, draw_t, pt_t, board_after_t) = xs
+
+        # z for the mover at t
+        z_here_end = jnp.where(
+            winner_t == 0, 0.0, jnp.where(winner_t == mover_t, 1.0, -1.0)
+        )
+        draw_end = (winner_t == 0).astype(jnp.float32)
+        z = jnp.where(done_t, z_here_end, -z_next)
+
+        td = []
+        td_draw = []
+        for i, lam in enumerate(lambdas):
+            nxt = -td_next[i]
+            td_i = jnp.where(done_t, z_here_end, (1.0 - lam) * wl_t + lam * nxt)
+            td.append(td_i)
+            td_d = jnp.where(
+                done_t, draw_end, (1.0 - lam) * draw_t + lam * td_draw_next[i]
+            )
+            td_draw.append(td_d)
+        td = jnp.stack(td)  # [L, B]
+        td_draw = jnp.stack(td_draw)
+
+        row_valid = done_t | (~done_t & valid)
+        steps_here = jnp.where(done_t, 1, steps + 1)
+        fb = jnp.where(done_t[:, None, None], board_after_t, fboard)
+        # shortterm value target: the next search value from mover's view
+        st_val = jnp.where(done_t, z_here_end, -next_wl)
+
+        dmask = done_t[:, None, None]
+        f1 = jnp.where(dmask, board_after_t, a1)  # +2 plies from row state
+        f2 = jnp.where(dmask, board_after_t, a3)  # +4 plies from row state
+
+        out = dict(
+            valid=row_valid,
+            z=z,
+            td=td.T,  # [B, L]
+            td_draw=td_draw.T,
+            steps=steps_here,
+            final_board=fb,
+            next_policy=next_pt,
+            opp_weight=(~done_t) & row_valid,
+            shortterm=st_val,
+            fut1=f1,
+            fut2=f2,
+        )
+        new_carry = (
+            row_valid,
+            z,
+            td,
+            td_draw,
+            steps_here,
+            fb,
+            pt_t,
+            wl_t,
+            board_after_t,
+            jnp.where(dmask, board_after_t, a1),
+            jnp.where(dmask, board_after_t, a2),
+        )
+        return new_carry, out
+
+    L = len(lambdas)
+    zeros_b = jnp.zeros((B,), jnp.float32)
+    zb_board = jnp.zeros((B, cfg.y_size, cfg.x_size), jnp.int8)
+    init = (
+        jnp.zeros((B,), bool),
+        zeros_b,
+        jnp.zeros((L, B), jnp.float32),
+        jnp.zeros((L, B), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        zb_board,
+        jnp.zeros((B, cfg.policy_size), jnp.float32),
+        zeros_b,
+        zb_board,
+        zb_board,
+        zb_board,
+    )
+    xs = (
+        traj.done_after,
+        traj.winner_after.astype(jnp.int32),
+        mover,
+        traj.root_wl,
+        traj.root_draw,
+        traj.policy_target,
+        traj.final_board,
+    )
+    _, outs = jax.lax.scan(rev_body, init, xs, reverse=True)
+
+    valid = outs["valid"]  # [T, B]
+    z = outs["z"]
+    fb = outs["final_board"]  # [T, B, Y, X]
+
+    # value target one-hot [win, loss, draw] for the mover
+    vt = jnp.stack(
+        [
+            (z > 0.5).astype(jnp.float32),
+            (z < -0.5).astype(jnp.float32),
+            (jnp.abs(z) <= 0.5).astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+    # ownership: final board from mover perspective (+1 own, -1 opp, 0 empty)
+    own = jnp.where(
+        fb == mover[..., None, None].astype(jnp.int8),
+        1.0,
+        jnp.where(fb == 0, 0.0, -1.0),
+    )
+
+    # per-cell longest line on the final board (color-agnostic, stones only)
+    def line_map(board):
+        runs = per_cell_max_run(cfg, board)
+        return jnp.where(board != 0, runs, 0)
+
+    lines = jax.vmap(jax.vmap(line_map))(fb)
+
+    # future board maps at +2 and +4 plies, ±1/0 from mover perspective,
+    # clipped to the final board at episode end (valueTargetsNCHW C1-C2
+    # intent, trainingwrite.cpp:486-561)
+    def signed(board):
+        m = mover[..., None, None].astype(jnp.int8)
+        return jnp.where(board == m, 1.0, jnp.where(board == 0, 0.0, -1.0))
+
+    futurepos = jnp.stack([signed(outs["fut1"]), signed(outs["fut2"])], axis=2)
+
+    weight = valid.astype(jnp.float32)
+
+    def flat(x):
+        return x.reshape((T * B,) + x.shape[2:])
+
+    # convert (wl, draw) TD pairs to win/loss/draw probability targets:
+    # p_win = (1 - p_draw + wl)/2, p_loss = (1 - p_draw - wl)/2
+    td_wl = outs["td"]  # [T, B, L]
+    td_d = jnp.clip(outs["td_draw"], 0.0, 1.0)
+    td_win = jnp.clip((1.0 - td_d + td_wl) / 2.0, 0.0, 1.0)
+    td_loss = jnp.clip((1.0 - td_d - td_wl) / 2.0, 0.0, 1.0)
+    td_probs = jnp.stack([td_win, td_loss, td_d], axis=-1)  # [T, B, L, 3]
+    norm = jnp.maximum(td_probs.sum(-1, keepdims=True), 1e-8)
+    td_probs = td_probs / norm
+
+    return TrainingBatch(
+        states=jax.tree_util.tree_map(flat, traj.states),
+        policy_target=flat(traj.policy_target),
+        opponent_policy_target=flat(outs["next_policy"]),
+        value_target=flat(vt),
+        td_value_targets=flat(td_probs),
+        ownership_target=flat(own),
+        line_target=flat(lines),
+        futurepos_target=flat(futurepos),
+        var_time_left_target=flat(outs["steps"].astype(jnp.float32)),
+        shortterm_value_target=flat(outs["shortterm"]),
+        weight=flat(weight),
+        opponent_policy_weight=flat(
+            outs["opp_weight"].astype(jnp.float32) * weight
+        ),
+    )
