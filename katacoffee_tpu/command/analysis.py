@@ -1,0 +1,267 @@
+"""JSON-lines parallel analysis engine.
+
+The frontend role of the reference's `cpp/command/analysis.cpp` (protocol
+`docs/Analysis_Engine.md:1-60`): JSON queries on stdin (one per line), JSON
+results on stdout. Where the reference achieves cross-position batching with
+`numAnalysisThreads` CPU threads feeding a shared NN server, here the
+positions of a query's `analyzeTurns` form the batch axis of ONE jitted
+search call — cross-position batching by construction (SURVEY.md §2.8 P2/P3).
+
+Query fields supported (reference names): id, moves (["B","C3 NW"] pairs —
+Coffee locations are "<spot> <direction>" or compact "C3NW"), initialStones,
+initialPlayer, boardXSize, boardYSize, rules ("coffee" or {"winLen": k}),
+analyzeTurns, maxVisits, priority (accepted), includeOwnership,
+includePolicy. Actions: query_version, clear_cache, terminate/terminate_all
+(accepted; searches are synchronous so there is nothing in flight to stop —
+documented deviation).
+
+Result fields per turn: id, turnNumber, moveInfos (move, visits, winrate,
+prior, lcb, utility, order, pv), rootInfo (winrate, visits, utility,
+currentPlayer), and optionally policy / ownership from the raw net.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katacoffee_tpu import __version__ as VERSION
+from katacoffee_tpu.game import io as gio
+from katacoffee_tpu.game.board import GameConfig, GameState, init_state, step
+from katacoffee_tpu.search import mcts
+from katacoffee_tpu.search.params import SearchParams
+
+
+def _parse_player(s: str) -> int:
+    s = s.lower()
+    if s in ("b", "black"):
+        return 1
+    if s in ("w", "white"):
+        return 2
+    raise ValueError(f"could not parse player: {s}")
+
+
+class AnalysisEngine:
+    def __init__(
+        self,
+        search_params: SearchParams,
+        eval_fn_factory=None,
+        default_visits: int = 100,
+        logger=None,
+    ):
+        """`eval_fn_factory(cfg) -> EvalFn` (None = uniform priors)."""
+        self.sp = search_params
+        self.factory = eval_fn_factory or mcts.uniform_eval_fn
+        self.default_visits = default_visits
+        self.logger = logger
+        self._search_cache: dict[tuple, callable] = {}
+        self._eval_cache: dict[GameConfig, mcts.EvalFn] = {}
+        self._rng = jax.random.PRNGKey(0)
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _eval_fn(self, cfg: GameConfig):
+        fn = self._eval_cache.get(cfg)
+        if fn is None:
+            fn = self.factory(cfg)
+            self._eval_cache[cfg] = fn
+        return fn
+
+    def _search_fn(self, cfg: GameConfig, batch: int, visits: int):
+        key = (cfg, batch, visits)
+        fn = self._search_cache.get(key)
+        if fn is None:
+            sp, ev = self.sp, self._eval_fn(cfg)
+            fn = jax.jit(
+                lambda roots, rng: mcts.run_search(cfg, sp, ev, roots, visits, rng)
+            )
+            self._search_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+
+    def handle_query(self, query: dict) -> list[dict]:
+        action = query.get("action")
+        qid = query.get("id")
+        if action == "query_version":
+            return [{"id": qid, "action": "query_version", "version": VERSION}]
+        if action == "clear_cache":
+            self._search_cache.clear()
+            self._eval_cache.clear()
+            return [{"id": qid, "action": "clear_cache"}]
+        if action in ("terminate", "terminate_all"):
+            # synchronous engine: queries finish before the next line is read
+            return [{"id": qid, "action": action}]
+        if qid is None:
+            return [{"error": "missing id", "field": "id"}]
+
+        try:
+            return self._analyze_query(query)
+        except (ValueError, KeyError, IndexError) as e:
+            return [{"id": qid, "error": str(e)}]
+
+    def _analyze_query(self, query: dict) -> list[dict]:
+        qid = query["id"]
+        x_size = int(query.get("boardXSize", 5))
+        y_size = int(query.get("boardYSize", 5))
+        rules = query.get("rules", "coffee")
+        win_len = 4
+        if isinstance(rules, dict):
+            win_len = int(rules.get("winLen", 4))
+        elif isinstance(rules, str) and rules.lower() not in ("coffee", ""):
+            raise ValueError(f"unknown rules {rules!r}")
+        cfg = GameConfig(x_size, y_size, win_len)
+
+        moves = query.get("moves", [])
+        initial_stones = query.get("initialStones", [])
+        initial_player = query.get("initialPlayer")
+        max_visits = int(query.get("maxVisits", self.default_visits))
+        analyze_turns = query.get("analyzeTurns", [len(moves)])
+
+        # build the position before each requested turn
+        board = np.zeros((cfg.y_size, cfg.x_size), np.int8)
+        for pla_s, loc_s in initial_stones:
+            x, y = gio.parse_spot(loc_s, cfg)
+            board[y, x] = _parse_player(pla_s)
+        st = init_state(cfg)
+        if initial_stones:
+            st = st._replace(board=jnp.asarray(board))
+        if initial_player is not None:
+            st = st._replace(to_move=jnp.asarray(_parse_player(initial_player), jnp.int8))
+
+        step1 = jax.jit(functools.partial(step, cfg))
+        states_by_turn: list[GameState] = [st]
+        for pla_s, loc_s in moves:
+            x, y, d = gio.parse_loc(loc_s, cfg)
+            pla = _parse_player(pla_s)
+            if pla != int(st.to_move):
+                # tolerate out-of-order colors by overriding to_move (the
+                # reference errors; GUIs send alternating colors in practice)
+                st = st._replace(to_move=jnp.asarray(pla, jnp.int8))
+            a = d * cfg.area + y * cfg.x_size + x
+            st = step1(st, jnp.asarray(a))
+            states_by_turn.append(st)
+
+        turns = [t for t in analyze_turns if 0 <= t < len(states_by_turn)]
+        bad = [t for t in analyze_turns if not (0 <= t < len(states_by_turn))]
+        results = [
+            {"id": qid, "turnNumber": t, "error": "turn out of range"} for t in bad
+        ]
+        live = [t for t in turns if not bool(states_by_turn[t].done)]
+        for t in turns:
+            if bool(states_by_turn[t].done):
+                results.append(
+                    {"id": qid, "turnNumber": t, "noResults": True, "isDuringSearch": False}
+                )
+        if not live:
+            return results
+
+        # ---- the batched search: all live turns in one jitted call ----
+        roots = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[states_by_turn[t] for t in live]
+        )
+        tree = self._search_fn(cfg, len(live), max_visits)(roots, self._next_key())
+
+        for i, t in enumerate(live):
+            results.append(
+                self._extract(qid, t, cfg, tree, i, query, states_by_turn[t])
+            )
+        return results
+
+    def _extract(self, qid, turn, cfg, tree, i, query, state) -> dict:
+        children = np.asarray(tree.children[i])
+        visits = np.asarray(tree.visits[i])
+        wl = np.asarray(tree.wl_avg[i])
+        util = np.asarray(tree.utility_avg[i])
+        usq = np.asarray(tree.utility_sq_avg[i])
+        wsum = np.asarray(tree.weight_sum[i])
+        wsq = np.asarray(tree.weight_sq_sum[i])
+        prior = np.asarray(tree.prior[i, 0])
+
+        infos = []
+        root_child = children[0]
+        for a in np.where(root_child >= 0)[0]:
+            ci = root_child[a]
+            v = int(visits[ci])
+            if v <= 0:
+                continue
+            u = -float(util[ci])
+            var = max(float(usq[ci]) - float(util[ci]) ** 2, 1e-8)
+            w = float(wsum[ci])
+            ess = w * w / max(float(wsq[ci]), 1e-12)
+            lcb_u = u - self.sp.lcbStdevs * (var / max(ess, 1.0)) ** 0.5
+            # PV by max visits
+            pv = [gio.action_to_compact(int(a), cfg)]
+            node = int(ci)
+            for _ in range(10):
+                ch = children[node]
+                live_a = np.where(ch >= 0)[0]
+                if live_a.size == 0:
+                    break
+                best = live_a[np.argmax(visits[ch[live_a]])]
+                if visits[ch[best]] <= 0:
+                    break
+                pv.append(gio.action_to_compact(int(best), cfg))
+                node = int(ch[best])
+            infos.append(
+                {
+                    "move": gio.action_to_compact(int(a), cfg),
+                    "visits": v,
+                    "winrate": 0.5 * (1.0 - float(wl[ci])),
+                    "prior": float(max(prior[a], 0.0)),
+                    "lcb": 0.5 * (1.0 + lcb_u),
+                    "utility": u,
+                    "pv": pv,
+                }
+            )
+        infos.sort(key=lambda r: (-r["visits"], -r["utility"]))
+        for order, r in enumerate(infos):
+            r["order"] = order
+
+        to_move = int(state.to_move)
+        result = {
+            "id": qid,
+            "turnNumber": turn,
+            "isDuringSearch": False,
+            "moveInfos": infos,
+            "rootInfo": {
+                "currentPlayer": "B" if to_move == 1 else "W",
+                "visits": int(visits[0]),
+                "winrate": 0.5 * (1.0 + float(wl[0])),
+                "utility": float(util[0]),
+            },
+        }
+        if query.get("includePolicy"):
+            result["policy"] = [float(max(p, -1.0)) for p in prior]
+        return result
+
+    # ------------------------------------------------------------------
+
+    def run(self, infile=None, outfile=None):
+        infile = infile or sys.stdin
+        outfile = outfile or sys.stdout
+        for line in infile:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                query = json.loads(line)
+            except json.JSONDecodeError as e:
+                outfile.write(json.dumps({"error": f"bad json: {e}"}) + "\n")
+                outfile.flush()
+                continue
+            for result in self.handle_query(query):
+                outfile.write(json.dumps(result) + "\n")
+            outfile.flush()
+
+
+def main(argv, search_params=None, eval_fn_factory=None, **kw):
+    sp = search_params or SearchParams.for_tests_v2()
+    AnalysisEngine(sp, eval_fn_factory, **kw).run()

@@ -1,0 +1,409 @@
+"""GTP protocol engine for Coffee.
+
+The frontend role of the reference's `cpp/command/gtp.cpp` (GTPEngine,
+gtp.cpp:318-534; command list gtp.cpp:20-100; protocol notes
+`docs/GTP_Extensions.md`): a stdin/stdout GTP loop driving the host Engine,
+so the framework can play on GTP servers (iggamecenter per the reference
+README goal) and in GUIs.
+
+Coffee moves on the wire are "<SPOT> <DIRECTION>", e.g. `play B C3 northwest`
+and genmove responds `= C3 northwest` (GameIO::locToString, board.cpp:594).
+Go-only commands (handicap, komi effects) are accepted-but-inert or report
+errors exactly where meaningless; komi is stored and echoed for GUI
+compatibility (the reference does the same for Coffee — komi has no effect).
+
+Deviation (documented): lz-analyze/kata-analyze in the reference stream info
+lines on an interval while background threads search; our search is one
+jitted call, so analyze runs the search to its visit budget and emits one
+final info report. The line format matches, so GUIs parse it unchanged.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from katacoffee_tpu import __version__ as VERSION
+from katacoffee_tpu.game import io as gio
+from katacoffee_tpu.game.board import GameConfig
+from katacoffee_tpu.program.engine import Engine, IllegalMoveError
+from katacoffee_tpu.search.params import SearchParams
+from katacoffee_tpu.search.timecontrols import TimeControls, visits_for_time
+
+KNOWN_COMMANDS = [
+    "protocol_version",
+    "name",
+    "version",
+    "known_command",
+    "list_commands",
+    "quit",
+    "boardsize",
+    "rectangular_boardsize",
+    "clear_board",
+    "set_position",
+    "komi",
+    "get_komi",
+    "play",
+    "undo",
+    "kata-get-rules",
+    "kata-set-rule",
+    "kata-set-rules",
+    "kata-get-param",
+    "kata-set-param",
+    "kata-list-params",
+    "genmove",
+    "genmove_debug",
+    "search_debug",
+    "clear_cache",
+    "showboard",
+    "time_settings",
+    "kgs-time_settings",
+    "time_left",
+    "kata-list_time_settings",
+    "kata-time_settings",
+    "final_score",
+    "final_status_list",
+    "loadsgf",
+    "printsgf",
+    "lz-genmove_analyze",
+    "kata-genmove_analyze",
+    "lz-analyze",
+    "kata-analyze",
+    "kata-raw-nn",
+    "cputime",
+    "gomill-cpu_time",
+    "kata-benchmark",
+    "debug_moves",
+    "stop",
+]
+
+
+def _parse_player(s: str) -> int:
+    s = s.lower()
+    if s in ("b", "black"):
+        return 1
+    if s in ("w", "white"):
+        return 2
+    raise ValueError(f"could not parse player: {s}")
+
+
+class GTPEngine:
+    def __init__(
+        self,
+        cfg: GameConfig,
+        search_params: SearchParams,
+        eval_fn=None,
+        max_visits: int = 100,
+        logger=None,
+        name: str = "KataCoffee-TPU",
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.sp = search_params
+        self.eval_fn = eval_fn
+        self.max_visits = max_visits
+        self.logger = logger
+        self.name = name
+        self.seed = seed
+        self.komi = 0.0
+        self.engine = Engine(cfg, search_params, eval_fn, seed=seed)
+        self.time_controls = {1: TimeControls(), 2: TimeControls()}
+        self.cpu_time = 0.0
+
+    def log(self, msg: str):
+        if self.logger is not None:
+            self.logger.write(msg)
+
+    # ------------------------------------------------------------------
+
+    def _visits_for_player(self, pla: int) -> int:
+        tc = self.time_controls[pla]
+        budget = tc.time_for_move()
+        if budget == float("inf") or self.engine.visits_per_second is None:
+            return self.max_visits
+        return visits_for_time(budget, self.engine.visits_per_second, self.max_visits)
+
+    def _genmove(self, pla: int, debug: bool = False, play: bool = True) -> str:
+        if pla != self.engine.to_move:
+            raise IllegalMoveError("genmove for the player not to move")
+        if self.engine.game_over:
+            return "resign"  # no legal moves for us (game already decided)
+        visits = self._visits_for_player(pla)
+        t0 = time.monotonic()
+        action, result = self.engine.genmove(visits, play=play)
+        dt = time.monotonic() - t0
+        self.cpu_time += dt
+        self.time_controls[pla].update_after_move(dt)
+        if debug:
+            for mi in result.move_infos[:8]:
+                print(
+                    f"{mi.move}: v={mi.visits} wr={mi.winrate:.3f} "
+                    f"prior={mi.prior:.3f} pv={' '.join(mi.pv)}",
+                    file=sys.stderr,
+                )
+        return gio.action_to_string(action, self.cfg)
+
+    def _analyze_line(self, result) -> str:
+        """One `info` report in lz/kata-analyze format."""
+        parts = []
+        for mi in result.move_infos:
+            mv = gio.action_to_compact(mi.action, self.cfg)
+            pv = " ".join(
+                gio.loc_to_compact(*gio.parse_loc(m, self.cfg), self.cfg) for m in mi.pv
+            )
+            parts.append(
+                f"info move {mv} visits {mi.visits} "
+                f"winrate {mi.winrate:.6f} prior {mi.prior:.6f} lcb {max(min(mi.lcb*0.5+0.5,1.0),0.0):.6f} "
+                f"utility {mi.utility:.6f} order {mi.order} "
+                f"pv {pv}"
+            )
+        return " ".join(parts)
+
+    # ------------------------------------------------------------------
+
+    def handle(self, line: str):
+        """Process one GTP line. Returns (response_str or None-for-quit)."""
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            return ""
+        pieces = line.split()
+        cmd_id = ""
+        if pieces[0].isdigit():
+            cmd_id = pieces[0]
+            pieces = pieces[1:]
+            if not pieces:
+                return f"?{cmd_id} no command"
+        cmd, args = pieces[0], pieces[1:]
+
+        try:
+            ok, resp, quit_ = self._dispatch(cmd, args)
+        except (ValueError, IllegalMoveError) as e:
+            ok, resp, quit_ = False, str(e), False
+
+        prefix = ("=" if ok else "?") + cmd_id
+        out = f"{prefix} {resp}".rstrip() if resp else prefix
+        return (out, quit_)
+
+    def _dispatch(self, cmd: str, args: list[str]):
+        cfg = self.cfg
+        ok, resp, quit_ = True, "", False
+
+        if cmd == "protocol_version":
+            resp = "2"
+        elif cmd == "name":
+            resp = self.name
+        elif cmd == "version":
+            resp = VERSION
+        elif cmd == "known_command":
+            resp = "true" if args and args[0] in KNOWN_COMMANDS else "false"
+        elif cmd == "list_commands":
+            resp = "\n".join(KNOWN_COMMANDS)
+        elif cmd == "quit":
+            quit_ = True
+        elif cmd in ("boardsize", "rectangular_boardsize"):
+            if len(args) == 1 and ":" in args[0]:
+                x, y = (int(v) for v in args[0].split(":"))
+            elif len(args) == 1:
+                x = y = int(args[0])
+            elif len(args) == 2:
+                x, y = int(args[0]), int(args[1])
+            else:
+                raise ValueError("expected boardsize X, X:Y, or X Y")
+            if not (2 <= x <= 19 and 2 <= y <= 19):
+                raise ValueError("unacceptable size")
+            self.cfg = GameConfig(x, y, self.cfg.win_len)
+            self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
+        elif cmd == "clear_board":
+            self.engine.clear_board()
+        elif cmd == "set_position":
+            if len(args) % 2 != 0:
+                raise ValueError("expected <COLOR> <VERTEX> pairs")
+            board = np.zeros((self.cfg.y_size, self.cfg.x_size), np.int8)
+            for i in range(0, len(args), 2):
+                pla = _parse_player(args[i])
+                x, y = gio.parse_spot(args[i + 1], self.cfg)
+                if board[y, x] != 0:
+                    raise ValueError("Illegal stone placements - overlapping stones")
+                board[y, x] = pla
+            self.engine.set_position(board, to_move=1)
+        elif cmd == "komi":
+            self.komi = float(args[0])  # stored only; komi has no effect in Coffee
+        elif cmd == "get_komi":
+            resp = str(self.komi)
+        elif cmd == "play":
+            if len(args) < 2:
+                raise ValueError("expected: play <COLOR> <SPOT> <DIRECTION>")
+            pla = _parse_player(args[0])
+            x, y, d = gio.parse_loc(" ".join(args[1:]), self.cfg)
+            self.engine.play(x, y, d, pla)
+        elif cmd == "undo":
+            self.engine.undo()
+        elif cmd == "kata-get-rules":
+            resp = f'{{"game":"coffee","winLen":{self.cfg.win_len}}}'
+        elif cmd in ("kata-set-rules", "kata-set-rule"):
+            # only the winLen rule exists; accept "coffee" or winLen updates
+            if cmd == "kata-set-rule" and len(args) == 2 and args[0] == "winLen":
+                self.cfg = GameConfig(self.cfg.x_size, self.cfg.y_size, int(args[1]))
+                self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
+            elif cmd == "kata-set-rules" and args and args[0].lower() != "coffee":
+                raise ValueError("only coffee rules are supported")
+        elif cmd == "kata-list-params":
+            resp = "maxVisits"
+        elif cmd == "kata-get-param":
+            if args and args[0] == "maxVisits":
+                resp = str(self.max_visits)
+            else:
+                raise ValueError(f"unknown param {args[0] if args else ''}")
+        elif cmd == "kata-set-param":
+            if len(args) == 2 and args[0] == "maxVisits":
+                self.max_visits = int(args[1])
+            else:
+                raise ValueError("expected: kata-set-param maxVisits N")
+        elif cmd in ("genmove", "genmove_debug", "search_debug"):
+            pla = _parse_player(args[0]) if args else self.engine.to_move
+            resp = self._genmove(
+                pla, debug=cmd != "genmove", play=cmd != "search_debug"
+            )
+        elif cmd in ("lz-genmove_analyze", "kata-genmove_analyze"):
+            pla = _parse_player(args[0]) if args and not args[0].isdigit() else self.engine.to_move
+            if pla != self.engine.to_move:
+                raise IllegalMoveError("genmove for the player not to move")
+            visits = self._visits_for_player(pla)
+            action, result = self.engine.genmove(visits, play=True)
+            resp = self._analyze_line(result) + f"\nplay {gio.action_to_compact(action, self.cfg)}"
+        elif cmd in ("lz-analyze", "kata-analyze"):
+            # args may include player and "interval N" — we emit one report
+            result = self.engine.analyze(self.max_visits)
+            resp = self._analyze_line(result)
+        elif cmd == "clear_cache":
+            self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
+        elif cmd == "showboard":
+            resp = "\n" + self.engine.showboard()
+        elif cmd == "time_settings":
+            main, byo, stones = float(args[0]), float(args[1]), int(args[2])
+            for pla in (1, 2):
+                if stones == 0 and byo == 0:
+                    self.time_controls[pla] = TimeControls.absolute(main)
+                elif stones == 0:
+                    self.time_controls[pla] = TimeControls()  # no time limits
+                else:
+                    self.time_controls[pla] = TimeControls.byo_yomi(main, byo / max(stones, 1), stones)
+        elif cmd == "kgs-time_settings":
+            system = args[0]
+            if system == "none":
+                tc = TimeControls()
+            elif system == "absolute":
+                tc = TimeControls.absolute(float(args[1]))
+            elif system == "byoyomi":
+                tc = TimeControls.byo_yomi(float(args[1]), float(args[2]), int(args[3]))
+            elif system == "canadian":
+                tc = TimeControls.byo_yomi(float(args[1]), float(args[2]) / max(int(args[3]), 1), int(args[3]))
+            else:
+                raise ValueError(f"unknown time system {system}")
+            for pla in (1, 2):
+                self.time_controls[pla] = tc
+        elif cmd == "kata-list_time_settings":
+            resp = "none absolute fischer byoyomi"
+        elif cmd == "kata-time_settings":
+            system = args[0]
+            if system == "fischer":
+                tc = TimeControls.fischer(float(args[1]), float(args[2]))
+            elif system == "absolute":
+                tc = TimeControls.absolute(float(args[1]))
+            elif system == "byoyomi":
+                tc = TimeControls.byo_yomi(float(args[1]), float(args[2]), int(args[3]))
+            else:
+                tc = TimeControls()
+            for pla in (1, 2):
+                self.time_controls[pla] = tc
+        elif cmd == "time_left":
+            pla = _parse_player(args[0])
+            self.time_controls[pla].main_time_left = float(args[1])
+        elif cmd == "kata-debug-print-tc":
+            resp = repr(self.time_controls)
+        elif cmd == "final_score":
+            if not self.engine.game_over:
+                resp = "0"
+            elif self.engine.winner == 1:
+                resp = "B+"
+            elif self.engine.winner == 2:
+                resp = "W+"
+            else:
+                resp = "0"
+        elif cmd == "final_status_list":
+            resp = ""  # no dead-stone concept in Coffee
+        elif cmd == "printsgf":
+            from katacoffee_tpu.dataio.sgf import write_sgf
+
+            winner = self.engine.winner if self.engine.game_over else None
+            text = write_sgf(
+                self.cfg.x_size,
+                self.cfg.y_size,
+                self.cfg.win_len,
+                self.engine.move_history,
+                "black",
+                "white",
+                winner=winner,
+            )
+            if args:
+                with open(args[0], "w") as f:
+                    f.write(text + "\n")
+            else:
+                resp = text
+        elif cmd == "loadsgf":
+            from katacoffee_tpu.dataio.sgf import parse_sgf_file
+
+            sgf = parse_sgf_file(args[0])
+            x, y = sgf.board_size()
+            self.cfg = GameConfig(x, y, sgf.win_len())
+            self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
+            moves = sgf.moves()
+            upto = int(args[1]) if len(args) > 1 else len(moves)
+            for mx, my, md, mpla in moves[:upto]:
+                self.engine.play(mx, my, md, mpla)
+        elif cmd == "kata-raw-nn":
+            result = self.engine.analyze(2)
+            lines = [f"winrate {result.root_winrate:.6f}", "policy"]
+            prior = {mi.move: mi.prior for mi in result.move_infos}
+            lines.extend(f"{m.replace(' ', '')} {p:.6f}" for m, p in prior.items())
+            resp = "\n".join(lines)
+        elif cmd in ("cputime", "gomill-cpu_time"):
+            resp = f"{self.cpu_time:.4f}"
+        elif cmd == "kata-benchmark":
+            visits = int(args[0]) if args else 100
+            t0 = time.monotonic()
+            self.engine.search(visits)
+            warm = time.monotonic()
+            self.engine.search(visits)
+            dt = time.monotonic() - warm
+            resp = f"visits/s {visits / max(dt, 1e-9):.1f} (first call {warm - t0:.2f}s incl compile)"
+        elif cmd == "debug_moves":
+            resp = " ".join(gio.loc_to_string(x, y, d, cfg) for x, y, d, _ in self.engine.move_history)
+        elif cmd == "stop":
+            pass  # searches are synchronous; nothing to stop
+        else:
+            ok, resp = False, "unknown command"
+        return ok, resp, quit_
+
+    def run(self, infile=None, outfile=None):
+        infile = infile or sys.stdin
+        outfile = outfile or sys.stdout
+        for line in infile:
+            result = self.handle(line)
+            if result == "":
+                continue
+            out, quit_ = result
+            outfile.write(out + "\n\n")
+            outfile.flush()
+            if quit_:
+                break
+
+
+def main(argv: list[str], cfg=None, search_params=None, eval_fn=None, **kw):
+    """Entry for `katacoffee gtp` (see cli.py for config plumbing)."""
+    cfg = cfg or GameConfig(5, 5, 4)
+    sp = search_params or SearchParams.for_tests_v2()
+    eng = GTPEngine(cfg, sp, eval_fn, **kw)
+    eng.run()

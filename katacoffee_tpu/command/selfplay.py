@@ -1,0 +1,219 @@
+"""Selfplay data-generation daemon.
+
+The frontend role of the reference's `cpp/command/selfplay.cpp`: generate
+training data continuously, polling for newer nets, writing per-model output
+dirs `<base>/selfplay/<model>/{tdata,sgfs}` (selfplay.cpp:33-425) that the
+shuffler consumes.
+
+TPU inversion (SURVEY.md §2.8 P2/P3): instead of numGameThreads CPU threads,
+ONE jitted program advances B games in lockstep, `moves_per_segment` plies per
+device call; data rows come back as arrays and are flushed to npz shards.
+Model polling happens between segments (the reference polls every 20s and
+swaps nets mid-game, selfplay.cpp:363-384; swapping between segments is the
+lockstep analogue — games in flight finish under the new net, which the
+reference also allows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katacoffee_tpu.dataio import TrainingDataWriter, find_latest_model
+from katacoffee_tpu.dataio.checkpoints import load_exported_model
+from katacoffee_tpu.dataio.sgf import write_sgf
+from katacoffee_tpu.game.board import GameConfig, init_state
+from katacoffee_tpu.search import SearchParams, make_nn_eval_fn, uniform_eval_fn
+from katacoffee_tpu.selfplay import (
+    SelfplaySettings,
+    Trajectory,
+    finalize_targets,
+    run_selfplay_segment,
+)
+from katacoffee_tpu.utils import Logger
+
+
+def extract_episodes(cfg: GameConfig, traj: Trajectory) -> list[tuple[list, int]]:
+    """Complete episodes from a segment as ([(x, y, d, pla)], winner) — for
+    SGF output. Episodes that don't finish inside the segment are skipped
+    (their data rows are weight-0 too)."""
+    played = np.asarray(traj.played_action)  # [T, B]
+    done = np.asarray(traj.done_after)
+    winner = np.asarray(traj.winner_after)
+    ep = np.asarray(traj.episode_id)
+    mover = np.asarray(traj.states.to_move)  # [T, B]
+    T, B = played.shape
+    out = []
+    for b in range(B):
+        t = 0
+        while t < T:
+            # find this episode's extent
+            e = ep[t, b]
+            end = None
+            moves = []
+            for u in range(t, T):
+                if ep[u, b] != e:
+                    break
+                a = int(played[u, b])
+                d, spot = a // cfg.area, a % cfg.area
+                moves.append((spot % cfg.x_size, spot // cfg.x_size, d, int(mover[u, b])))
+                if done[u, b]:
+                    end = u
+                    break
+            if end is None:
+                break  # unfinished tail
+            # only full episodes (started inside the segment or at its very
+            # beginning with a fresh board == num_turns 0 at first row)
+            started_fresh = int(np.asarray(traj.states.num_turns)[t, b]) == 0
+            if started_fresh:
+                out.append((moves, int(winner[end, b])))
+            t = end + 1
+    return out
+
+
+@dataclasses.dataclass
+class SelfplayConfig:
+    batch_size: int = 256
+    num_sims: int = 600  # reference training op-point (selfplay1.cfg:84)
+    moves_per_segment: int = 64
+    max_rows_per_file: int = 65536
+    poll_every_segments: int = 1
+    write_sgfs: bool = True
+    max_segments: int | None = None  # None = run forever
+    max_rows: int | None = None
+    seed: int = 0
+
+
+def run_selfplay_daemon(
+    base_dir: str,
+    cfg: GameConfig,
+    sp: SearchParams,
+    spc: SelfplayConfig,
+    logger: Logger | None = None,
+):
+    """Main daemon loop. Returns total rows written."""
+    logger = logger or Logger(log_to_stdout=True)
+    models_dir = os.path.join(base_dir, "models")
+    rng = jax.random.PRNGKey(spc.seed)
+
+    current_model_dir = None
+    eval_fn = uniform_eval_fn(cfg)
+    model_name = "random"
+
+    settings = SelfplaySettings(num_sims=spc.num_sims)
+    states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(spc.batch_size))
+    ep = jnp.zeros((spc.batch_size,), jnp.int32)
+
+    segment_fn = None
+    writer = None
+    sgf_dir = None
+    total_rows = 0
+    games_done = 0
+    seg = 0
+    t_start = time.monotonic()
+
+    def build_for_model():
+        nonlocal segment_fn, writer, sgf_dir
+        out_base = os.path.join(base_dir, "selfplay", model_name)
+        tdata = os.path.join(out_base, "tdata")
+        sgf_dir = os.path.join(out_base, "sgfs")
+        os.makedirs(sgf_dir, exist_ok=True)
+        writer = TrainingDataWriter(tdata, cfg, spc.max_rows_per_file)
+        ev = eval_fn
+
+        def seg_fn(s, e, r):
+            return run_selfplay_segment(cfg, sp, settings, ev, s, e, r, spc.moves_per_segment)
+
+        segment_fn = jax.jit(seg_fn)
+
+    while True:
+        if seg % spc.poll_every_segments == 0:
+            latest = find_latest_model(models_dir)
+            if latest != current_model_dir:
+                if writer is not None:
+                    writer.flush()
+                current_model_dir = latest
+                if latest is None:
+                    eval_fn = uniform_eval_fn(cfg)
+                    model_name = "random"
+                else:
+                    model, params, mcfg, meta = load_exported_model(latest)
+                    if mcfg != cfg:
+                        raise ValueError(f"model {latest} is for {mcfg}, daemon runs {cfg}")
+                    eval_fn = make_nn_eval_fn(cfg, model, params)
+                    model_name = meta["name"]
+                build_for_model()
+                logger.write(f"selfplay: using model {model_name}")
+        if segment_fn is None:
+            build_for_model()
+
+        rng, k = jax.random.split(rng)
+        states, ep, traj = segment_fn(states, ep, k)
+        batch = finalize_targets(cfg, settings, traj)
+        rows = writer.add_batch(batch)
+        total_rows += rows
+
+        if spc.write_sgfs:
+            episodes = extract_episodes(cfg, traj)
+            games_done += len(episodes)
+            for i, (moves, winner) in enumerate(episodes):
+                text = write_sgf(
+                    cfg.x_size, cfg.y_size, cfg.win_len, moves,
+                    model_name, model_name, winner=winner,
+                )
+                path = os.path.join(sgf_dir, f"seg{seg:06d}_{i:04d}.sgf")
+                with open(path, "w") as f:
+                    f.write(text + "\n")
+
+        seg += 1
+        dt = time.monotonic() - t_start
+        logger.write(
+            f"selfplay: seg {seg} rows {total_rows} games {games_done} "
+            f"({total_rows / max(dt, 1e-9):.1f} rows/s)"
+        )
+        if spc.max_segments is not None and seg >= spc.max_segments:
+            break
+        if spc.max_rows is not None and total_rows >= spc.max_rows:
+            break
+
+    writer.flush()
+    return total_rows
+
+
+def main(argv, **kw):
+    """Entry for `katacoffee selfplay` (cli.py plumbs the config)."""
+    from katacoffee_tpu.utils import ConfigParser
+
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="katacoffee selfplay")
+    ap.add_argument("-output-dir", required=True)
+    ap.add_argument("-config", default=None)
+    ap.add_argument("-override-config", default=None)
+    args = ap.parse_args(argv)
+
+    c = ConfigParser(args.config, overrides=args.override_config) if args.config else ConfigParser(text="")
+    if args.override_config and not args.config:
+        c.apply_overrides(args.override_config)
+    cfg = GameConfig(
+        c.get_int("xSize", 5), c.get_int("ySize", 5), c.get_int("winLen", 4)
+    )
+    sp = SearchParams.for_selfplay()
+    spc = SelfplayConfig(
+        batch_size=c.get_int("numParallelGames", 256),
+        num_sims=c.get_int("maxVisits", 600),
+        moves_per_segment=c.get_int("movesPerSegment", 64),
+        max_segments=c.get_int("maxSegments", 0) or None,
+        max_rows=c.get_int("maxRows", 0) or None,
+        seed=c.get_int("seed", 0),
+    )
+    logger = Logger(log_to_stdout=True)
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger.add_file(os.path.join(args.output_dir, "selfplay.log"))
+    c.warn_unused(logger)
+    run_selfplay_daemon(args.output_dir, cfg, sp, spc, logger)

@@ -1,0 +1,181 @@
+"""Trainer daemon/command.
+
+The role of the reference's `python/train.py` (§3.4 call stack): stream
+shuffled npz chunks, run the jitted train step (data-parallel over the device
+mesh — torch-DDP/NCCL replaced by sharding annotations + XLA ICI collectives,
+SURVEY.md §2.8 P5), keep EMA weights, checkpoint with rotation, append
+JSON-lines metrics, and export models for selfplay/gating on a sample
+schedule (the reference's torchmodels_toexport → export_model_pytorch.py bus,
+train.py:253-289).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katacoffee_tpu.dataio.checkpoints import (
+    export_model,
+    load_checkpoint,
+    save_checkpoint,
+)
+from katacoffee_tpu.dataio.trainingwrite import iter_shards, read_npz_rows, rows_to_batch
+from katacoffee_tpu.game.board import GameConfig
+from katacoffee_tpu.nn.configs import get_model_spec
+from katacoffee_tpu.nn.model import CoffeeNet
+from katacoffee_tpu.selfplay.actor import TrainingBatch
+from katacoffee_tpu.train import TrainConfig, init_train_state, make_train_step
+from katacoffee_tpu.utils import Logger
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    model: str = "b6c96"
+    batch_size: int = 256
+    steps_per_export: int = 500
+    checkpoint_every: int = 200
+    max_steps: int | None = None
+    max_epochs_per_data: int = 8  # reference loop's ≤8 passes/row (synchronous_loop.sh:66)
+    seed: int = 0
+
+
+def _batch_iterator(shuffled_dir: str, batch_size: int, rng: np.random.Generator):
+    """Yield fixed-size batches from the shuffled chunks, looping, reshuffling
+    chunk order per epoch. Yields (epoch, TrainingBatch)."""
+    epoch = 0
+    leftover = None
+    while True:
+        shards = list(iter_shards(shuffled_dir))
+        if not shards:
+            yield None, None
+            continue
+        order = rng.permutation(len(shards))
+        for si in order:
+            data = read_npz_rows(shards[si])
+            batch = rows_to_batch(data, None)
+            n = int(batch.weight.shape[0])
+            perm = rng.permutation(n)
+            arrays = jax.tree_util.tree_map(lambda x: np.asarray(x)[perm], batch)
+            start = 0
+            while start + batch_size <= n:
+                yield epoch, jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x[start : start + batch_size]), arrays
+                )
+                start += batch_size
+        epoch += 1
+
+
+def run_training(
+    base_dir: str,
+    cfg: GameConfig,
+    tc: TrainConfig,
+    trc: TrainerConfig,
+    logger: Logger | None = None,
+    export_to: str = "modelstobetested",
+    run_name: str = "run",
+) -> int:
+    """Train until max_steps (or forever). Returns steps done this call."""
+    logger = logger or Logger(log_to_stdout=True)
+    shuffled_dir = os.path.join(base_dir, "shuffleddata")
+    train_dir = os.path.join(base_dir, "train", run_name)
+    os.makedirs(train_dir, exist_ok=True)
+    metrics_path = os.path.join(train_dir, "metrics_train.json")
+    ckpt_path = os.path.join(train_dir, "checkpoint.ckpt")
+
+    model = CoffeeNet(get_model_spec(trc.model), win_len=cfg.win_len)
+    state = init_train_state(
+        model, cfg, tc, batch_size=trc.batch_size, rng=jax.random.PRNGKey(trc.seed)
+    )
+    start_step = 0
+    if os.path.exists(ckpt_path):
+        state, meta = load_checkpoint(ckpt_path, state)
+        start_step = int(meta.get("train_step", int(state.step)))
+        logger.write(f"train: resumed from step {start_step}")
+
+    step_fn = make_train_step(model, cfg, tc, batch_size=trc.batch_size)
+    rng = np.random.default_rng(trc.seed + start_step)
+    key = jax.random.PRNGKey(trc.seed + 1)
+
+    batches = _batch_iterator(shuffled_dir, trc.batch_size, rng)
+    steps = 0
+    t0 = time.monotonic()
+    mfile = open(metrics_path, "a")
+    while trc.max_steps is None or steps < trc.max_steps:
+        epoch, batch = next(batches)
+        if batch is None:
+            logger.write("train: no shuffled data yet, waiting")
+            time.sleep(5)
+            continue
+        if epoch >= trc.max_epochs_per_data:
+            break
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, batch, k)
+        steps += 1
+        gstep = start_step + steps
+
+        if steps % 50 == 0 or steps == 1:
+            m = {k2: float(v) for k2, v in metrics.items()}
+            m.update(step=gstep, epoch=epoch, time=time.time())
+            mfile.write(json.dumps(m) + "\n")
+            mfile.flush()
+            logger.write(
+                f"train: step {gstep} loss {m['loss']:.4f} p {m['loss_policy']:.4f} "
+                f"v {m['loss_value']:.4f} ({steps / max(time.monotonic()-t0, 1e-9):.2f} steps/s)"
+            )
+        if steps % trc.checkpoint_every == 0:
+            save_checkpoint(ckpt_path, state, extra={"train_step": gstep})
+        if steps % trc.steps_per_export == 0:
+            _export(base_dir, export_to, run_name, gstep, state, trc, cfg, logger)
+
+    save_checkpoint(ckpt_path, state, extra={"train_step": start_step + steps})
+    _export(base_dir, export_to, run_name, start_step + steps, state, trc, cfg, logger)
+    mfile.close()
+    return steps
+
+
+def _export(base_dir, export_to, run_name, gstep, state, trc, cfg, logger):
+    name = f"{run_name}-s{gstep}"
+    out = export_model(
+        os.path.join(base_dir, export_to),
+        name,
+        state.ema_params,  # EMA weights are what ships (train.py SWA export)
+        trc.model,
+        cfg,
+        extra={"train_step": gstep},
+    )
+    logger.write(f"train: exported {out}")
+    return out
+
+
+def main(argv, **kw):
+    import argparse
+
+    from katacoffee_tpu.utils import ConfigParser
+
+    ap = argparse.ArgumentParser(prog="katacoffee train")
+    ap.add_argument("-base-dir", required=True)
+    ap.add_argument("-config", default=None)
+    ap.add_argument("-override-config", default=None)
+    args = ap.parse_args(argv)
+    c = ConfigParser(args.config, overrides=args.override_config) if args.config else ConfigParser(text="")
+    if args.override_config and not args.config:
+        c.apply_overrides(args.override_config)
+
+    cfg = GameConfig(c.get_int("xSize", 5), c.get_int("ySize", 5), c.get_int("winLen", 4))
+    tc = TrainConfig(learning_rate=c.get_float("learningRate", 0.02))
+    trc = TrainerConfig(
+        model=c.get_string("model", "b6c96"),
+        batch_size=c.get_int("batchSize", 256),
+        max_steps=c.get_int("maxSteps", 0) or None,
+        steps_per_export=c.get_int("stepsPerExport", 500),
+        seed=c.get_int("seed", 0),
+    )
+    logger = Logger(log_to_stdout=True)
+    c.warn_unused(logger)
+    run_training(args.base_dir, cfg, tc, trc, logger)

@@ -1,0 +1,294 @@
+"""Host engine facade: one interactive game driving the jitted batched search.
+
+This is the role of the reference's `AsyncBot` + `Search` root management +
+`GTPEngine` internals (`cpp/search/asyncbot.{h,cpp}`, `cpp/command/gtp.cpp:
+318-534`): hold a position, validate/play moves, run a search from the
+current position, extract chosen moves / analysis data / PVs.
+
+The reference needs a persistent search thread and ponder machinery because
+its search is a mutable tree advanced by CPU threads; here a search is one
+jitted call (B=1 array-of-trees), so the facade is synchronous and stateless
+between calls. Jitted search fns are cached per visit count; analysis data is
+extracted on host from the returned tree arrays (searchresults.cpp
+equivalents: getAnalysisData / PV walk by max child visits).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katacoffee_tpu.game import io as gio
+from katacoffee_tpu.game.board import (
+    D_NONE,
+    GameConfig,
+    GameState,
+    init_state,
+    legal_mask_flat,
+    step,
+)
+from katacoffee_tpu.search import mcts
+from katacoffee_tpu.search.params import SearchParams
+
+
+@dataclasses.dataclass
+class MoveInfo:
+    """Per-candidate analysis row (the reference's AnalysisData,
+    search/analysisdata.h)."""
+
+    action: int
+    move: str
+    visits: int
+    winrate: float  # from the root player's perspective, in [0,1]
+    draw_prob: float
+    utility: float
+    lcb: float
+    prior: float
+    order: int
+    pv: list[str]
+
+
+@dataclasses.dataclass
+class AnalysisResult:
+    root_visits: int
+    root_winrate: float  # root player's perspective, [0,1]
+    root_draw_prob: float
+    root_utility: float
+    move_infos: list[MoveInfo]
+
+
+class IllegalMoveError(ValueError):
+    pass
+
+
+class Engine:
+    """One game + search. `eval_fn` is an mcts.EvalFn; None = uniform priors
+    (the reference's "random" model sentinel before any net exists)."""
+
+    def __init__(
+        self,
+        cfg: GameConfig,
+        search_params: SearchParams,
+        eval_fn: mcts.EvalFn | None = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.sp = search_params
+        self.eval_fn = eval_fn if eval_fn is not None else mcts.uniform_eval_fn(cfg)
+        self._rng = jax.random.PRNGKey(seed)
+        self._step1 = jax.jit(functools.partial(step, cfg))
+        self._legal1 = jax.jit(functools.partial(legal_mask_flat, cfg))
+        self._search_fns: dict[int, callable] = {}
+        self.visits_per_second: float | None = None  # measured, for time controls
+        self.clear_board()
+
+    # ------------------------------------------------------------------
+    # Position management
+    # ------------------------------------------------------------------
+
+    def clear_board(self):
+        self.state: GameState = init_state(self.cfg)
+        self.move_history: list[tuple[int, int, int, int]] = []  # (x, y, d, pla)
+        self._state_stack: list[GameState] = []
+
+    def set_position(self, board: np.ndarray, to_move: int, last_move: tuple[int, int, int] | None = None):
+        """Arbitrary position (GTP set_position / SGF placements). History
+        beyond the optional last move is unknown -> empty recent-move planes,
+        like the reference setting up a Board without a BoardHistory."""
+        base = init_state(self.cfg)
+        board = jnp.asarray(np.asarray(board, np.int8))
+        nstones = int((np.asarray(board) != 0).sum())
+        st = base._replace(
+            board=board,
+            to_move=jnp.asarray(to_move, jnp.int8),
+            num_turns=jnp.asarray(nstones, jnp.int32),
+        )
+        if last_move is not None:
+            x, y, d = last_move
+            spot = y * self.cfg.x_size + x
+            st = st._replace(
+                last_spot=jnp.asarray(spot, jnp.int32),
+                last_dir=jnp.asarray(d, jnp.int32),
+                recent_spots=st.recent_spots.at[0].set(spot),
+                recent_dirs=st.recent_dirs.at[0].set(d),
+            )
+        self.state = st
+        self.move_history = []
+        self._state_stack = []
+
+    def legal_actions(self) -> np.ndarray:
+        return np.asarray(self._legal1(self.state))
+
+    def is_legal(self, x: int, y: int, d: int) -> bool:
+        a = d * self.cfg.area + y * self.cfg.x_size + x
+        return bool(self.legal_actions()[a])
+
+    def play(self, x: int, y: int, d: int, pla: int | None = None):
+        """Validate and play. `pla` if given must match the player to move
+        (GTP allows playing for either side; the reference errors on
+        out-of-turn play for Coffee since legality depends on move order)."""
+        if pla is not None and pla != int(self.state.to_move):
+            turn = "black" if int(self.state.to_move) == 1 else "white"
+            raise IllegalMoveError(f"it is {turn}'s turn")
+        if not self.is_legal(x, y, d):
+            raise IllegalMoveError(f"illegal move {gio.loc_to_string(x, y, d, self.cfg)}")
+        a = d * self.cfg.area + y * self.cfg.x_size + x
+        self._state_stack.append(self.state)
+        mover = int(self.state.to_move)
+        self.state = self._step1(self.state, jnp.asarray(a))
+        self.move_history.append((x, y, d, mover))
+
+    def undo(self):
+        if not self._state_stack:
+            raise ValueError("nothing to undo")
+        self.state = self._state_stack.pop()
+        self.move_history.pop()
+
+    @property
+    def game_over(self) -> bool:
+        return bool(self.state.done)
+
+    @property
+    def winner(self) -> int:
+        return int(self.state.winner)
+
+    @property
+    def to_move(self) -> int:
+        return int(self.state.to_move)
+
+    def board(self) -> np.ndarray:
+        return np.asarray(self.state.board)
+
+    def showboard(self) -> str:
+        return gio.board_to_string(self.board(), self.cfg)
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+
+    def _get_search_fn(self, num_visits: int):
+        fn = self._search_fns.get(num_visits)
+        if fn is None:
+            cfg, sp, ev = self.cfg, self.sp, self.eval_fn
+
+            def run(root_state, rng):
+                roots = jax.tree_util.tree_map(lambda x: x[None], root_state)
+                return mcts.run_search(cfg, sp, ev, roots, num_visits, rng)
+
+            fn = jax.jit(run)
+            self._search_fns[num_visits] = fn
+        return fn
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def search(self, max_visits: int) -> mcts.Tree:
+        if self.game_over:
+            raise ValueError("game is over")
+        t0 = time.monotonic()
+        tree = self._get_search_fn(max_visits)(self.state, self._next_key())
+        jax.block_until_ready(tree.visits)
+        dt = max(time.monotonic() - t0, 1e-6)
+        # update running visits/s (ignore compile-dominated first call)
+        if max_visits >= 8 and self.visits_per_second is not None:
+            self.visits_per_second = 0.7 * self.visits_per_second + 0.3 * (max_visits / dt)
+        elif max_visits >= 8:
+            self.visits_per_second = max_visits / dt
+        return tree
+
+    def genmove(self, max_visits: int, play: bool = True) -> tuple[int, AnalysisResult]:
+        """Search + choose a move (getChosenMoveLoc semantics). Returns
+        (flat action, analysis). Plays the move onto the board if `play`."""
+        tree = self.search(max_visits)
+        action = int(mcts.select_moves(self.cfg, self.sp, tree, self._next_key())[0])
+        result = self._extract_analysis(tree)
+        if play:
+            area = self.cfg.area
+            d, spot = action // area, action % area
+            self.play(spot % self.cfg.x_size, spot // self.cfg.x_size, d)
+        return action, result
+
+    def analyze(self, max_visits: int, max_moves: int = 16, pv_len: int = 8) -> AnalysisResult:
+        tree = self.search(max_visits)
+        return self._extract_analysis(tree, max_moves=max_moves, pv_len=pv_len)
+
+    # ------------------------------------------------------------------
+    # Analysis extraction (searchresults.cpp getAnalysisData equivalents)
+    # ------------------------------------------------------------------
+
+    def _extract_analysis(self, tree: mcts.Tree, max_moves: int = 16, pv_len: int = 8) -> AnalysisResult:
+        cfg = self.cfg
+        children = np.asarray(tree.children[0])  # [N, A]
+        visits = np.asarray(tree.visits[0])  # [N]
+        wl = np.asarray(tree.wl_avg[0])
+        draw = np.asarray(tree.draw_avg[0])
+        util = np.asarray(tree.utility_avg[0])
+        usq = np.asarray(tree.utility_sq_avg[0])
+        wsum = np.asarray(tree.weight_sum[0])
+        wsq = np.asarray(tree.weight_sq_sum[0])
+        prior = np.asarray(tree.prior[0, 0])  # [A]
+
+        root_child = children[0]  # [A]
+        cand = np.where(root_child >= 0)[0]
+        rows = []
+        for a in cand:
+            ci = root_child[a]
+            v = int(visits[ci])
+            if v <= 0:
+                continue
+            # parent (root) perspective = negate child's mover values
+            u = -float(util[ci])
+            child_wl = -float(wl[ci])
+            d_prob = float(draw[ci])
+            var = max(float(usq[ci]) - float(util[ci]) ** 2, 1e-8)
+            w = float(wsum[ci])
+            ess = w * w / max(float(wsq[ci]), 1e-12)
+            stdev = (var / max(ess, 1.0)) ** 0.5
+            lcb = u - self.sp.lcbStdevs * stdev
+            rows.append(
+                MoveInfo(
+                    action=int(a),
+                    move=gio.action_to_string(int(a), cfg),
+                    visits=v,
+                    winrate=0.5 * (1.0 + child_wl),
+                    draw_prob=d_prob,
+                    utility=u,
+                    lcb=lcb,
+                    prior=float(max(prior[a], 0.0)),
+                    order=0,
+                    pv=self._pv(children, visits, int(ci), int(a), pv_len),
+                )
+            )
+        rows.sort(key=lambda r: (-r.visits, -r.utility))
+        for i, r in enumerate(rows):
+            r.order = i
+        return AnalysisResult(
+            root_visits=int(visits[0]),
+            root_winrate=0.5 * (1.0 + float(wl[0])),
+            root_draw_prob=float(draw[0]),
+            root_utility=float(util[0]),
+            move_infos=rows[:max_moves],
+        )
+
+    def _pv(self, children: np.ndarray, visits: np.ndarray, node: int, first_action: int, pv_len: int) -> list[str]:
+        """Principal variation: follow max-child-visits from `node`
+        (searchresults.cpp appendPV semantics)."""
+        pv = [gio.action_to_string(first_action, self.cfg)]
+        for _ in range(pv_len - 1):
+            ch = children[node]
+            live = np.where(ch >= 0)[0]
+            if live.size == 0:
+                break
+            v = visits[ch[live]]
+            best = live[np.argmax(v)]
+            if visits[ch[best]] <= 0:
+                break
+            pv.append(gio.action_to_string(int(best), self.cfg))
+            node = int(ch[best])
+        return pv

@@ -1,0 +1,354 @@
+"""Tests for the host engine + protocol frontends: GTP (tier-3 of the
+reference's test strategy, cpp/runcmdtests.sh / tests/gtp/*.txt analogue),
+the JSON analysis engine (docs/Analysis_Engine.md protocol), game IO strings,
+and the batched match runner."""
+
+import json
+
+import numpy as np
+import pytest
+
+from katacoffee_tpu.game import io as gio
+from katacoffee_tpu.game.board import GameConfig
+from katacoffee_tpu.program.engine import Engine, IllegalMoveError
+from katacoffee_tpu.search import SearchParams
+from katacoffee_tpu.search.timecontrols import TimeControls, visits_for_time
+
+CFG = GameConfig(5, 5, 4)
+SP = SearchParams(valueWeightExponent=0.0)
+
+
+class TestGameIO:
+    def test_spot_strings(self):
+        assert gio.spot_to_string(0, 4, CFG) == "A1"  # bottom-left
+        assert gio.spot_to_string(0, 0, CFG) == "A5"  # top-left
+        assert gio.spot_to_string(4, 0, CFG) == "E5"
+        assert gio.parse_spot("A1", CFG) == (0, 4)
+        assert gio.parse_spot("e5", CFG) == (4, 0)
+
+    def test_no_letter_i(self):
+        cfg9 = GameConfig(9, 9, 4)
+        assert gio.spot_to_string(8, 8, cfg9) == "J1"  # I skipped
+        assert gio.parse_spot("J1", cfg9) == (8, 8)
+
+    def test_loc_roundtrip(self):
+        for a in range(CFG.policy_size):
+            s = gio.action_to_string(a, CFG)
+            assert gio.parse_action(s, CFG) == a
+            c = gio.action_to_compact(a, CFG)
+            assert " " not in c
+            assert gio.parse_action(c, CFG) == a
+
+    def test_direction_aliases(self):
+        assert gio.parse_direction("n") == gio.parse_direction("north")
+        assert gio.parse_direction("NW") == gio.parse_direction("northwest")
+
+    def test_board_string_roundtrip(self):
+        import numpy as np
+
+        board = np.zeros((5, 5), np.int8)
+        board[0, 0] = 1
+        board[4, 4] = 2
+        text = gio.board_to_string(board, CFG)
+        parsed = gio.parse_board(text, CFG)
+        np.testing.assert_array_equal(parsed, board)
+
+
+class TestEngine:
+    def test_play_and_legality(self):
+        eng = Engine(CFG, SP)
+        eng.play(2, 2, 0)  # C3 north
+        assert eng.to_move == 2
+        # direction constraint: next move must be in column 2 (north line)
+        assert eng.is_legal(2, 0, 1)
+        assert not eng.is_legal(0, 0, 0)
+        with pytest.raises(IllegalMoveError):
+            eng.play(0, 0, 0)
+        with pytest.raises(IllegalMoveError):
+            eng.play(2, 0, 1, pla=1)  # wrong player
+
+    def test_undo(self):
+        eng = Engine(CFG, SP)
+        eng.play(2, 2, 0)
+        eng.play(2, 0, 1)
+        eng.undo()
+        assert eng.to_move == 2
+        assert len(eng.move_history) == 1
+        eng.undo()
+        assert eng.to_move == 1
+        with pytest.raises(ValueError):
+            eng.undo()
+
+    def test_genmove_plays_legal(self):
+        eng = Engine(CFG, SP, seed=3)
+        for _ in range(6):
+            if eng.game_over:
+                break
+            before = eng.legal_actions()
+            action, result = eng.genmove(16)
+            assert before[action]
+            assert result.root_visits > 0
+            assert result.move_infos
+        assert len(eng.move_history) >= 1
+
+    def test_analysis_fields(self):
+        eng = Engine(CFG, SP)
+        result = eng.analyze(32)
+        # root visits = 1 (root eval) + playouts, KataGo's counting
+        assert result.root_visits == 33
+        top = result.move_infos[0]
+        assert top.visits > 0
+        assert 0.0 <= top.winrate <= 1.0
+        assert top.pv[0] == top.move
+        assert all(result.move_infos[i].order == i for i in range(len(result.move_infos)))
+
+    def test_set_position(self):
+        eng = Engine(CFG, SP)
+        board = np.zeros((5, 5), np.int8)
+        board[2, 2] = 1
+        eng.set_position(board, to_move=2, last_move=(2, 2, 0))
+        # white constrained to column 2
+        assert eng.is_legal(2, 0, 1)
+        assert not eng.is_legal(0, 0, 0)
+
+
+def gtp_session(lines, **kw):
+    from katacoffee_tpu.command.gtp import GTPEngine
+
+    eng = GTPEngine(CFG, SP, max_visits=8, **kw)
+    out = []
+    for line in lines:
+        r = eng.handle(line)
+        if r == "":
+            continue
+        resp, quit_ = r
+        out.append(resp)
+        if quit_:
+            break
+    return out
+
+
+class TestGTP:
+    def test_basics(self):
+        out = gtp_session(
+            ["protocol_version", "name", "version", "known_command play",
+             "known_command bogus", "1 list_commands", "quit"]
+        )
+        assert out[0] == "= 2"
+        assert out[1].startswith("= ")
+        assert out[3] == "= true"
+        assert out[4] == "= false"
+        assert out[5].startswith("=1 ")
+        assert "genmove" in out[5]
+        assert out[6] == "="
+
+    def test_play_genmove_showboard(self):
+        out = gtp_session(
+            ["play B C3 north", "genmove white", "showboard", "debug_moves"]
+        )
+        assert out[0] == "="
+        assert out[1].startswith("= ")
+        move = out[1][2:]
+        x, y, d = gio.parse_loc(move, CFG)
+        assert x == 2  # constrained to column C by the north line
+        assert "X" in out[2] and "O" in out[2]
+        assert "C3 north" in out[3]
+
+    def test_errors(self):
+        out = gtp_session(["play B Z9 north", "play B C3 bogus", "bogus_cmd", "undo"])
+        assert all(o.startswith("?") for o in out[:3])
+        assert out[3].startswith("?")  # nothing to undo
+
+    def test_id_echo(self):
+        out = gtp_session(["7 name", "8 bogus"])
+        assert out[0].startswith("=7")
+        assert out[1].startswith("?8")
+
+    def test_boardsize_komi_rules(self):
+        out = gtp_session(
+            ["boardsize 7", "komi 6.5", "get_komi", "kata-get-rules",
+             "kata-set-param maxVisits 4", "kata-get-param maxVisits"]
+        )
+        assert out[0] == "="
+        assert out[2] == "= 6.5"
+        assert json.loads(out[3][2:])["game"] == "coffee"
+        assert out[5] == "= 4"
+
+    def test_set_position_and_final_score(self):
+        out = gtp_session(
+            ["set_position B C3 W D4", "final_score", "clear_board", "final_score"]
+        )
+        assert out[0] == "="
+        assert out[1] == "= 0"
+
+    def test_analyze_and_genmove_analyze(self):
+        out = gtp_session(["play B C3 north", "kata-analyze interval 50",
+                           "kata-genmove_analyze white"])
+        assert out[1].startswith("= info move ")
+        assert "winrate" in out[1] and "pv" in out[1]
+        assert "\nplay " in out[2]
+
+    def test_time_settings(self):
+        out = gtp_session(
+            ["kata-time_settings fischer 30 1", "time_left black 25.0",
+             "genmove black"]
+        )
+        assert out[0] == "=" and out[1] == "="
+        assert out[2].startswith("= ")
+
+    def test_printsgf_loadsgf(self, tmp_path):
+        from katacoffee_tpu.command.gtp import GTPEngine
+
+        eng = GTPEngine(CFG, SP, max_visits=8)
+        eng.handle("play B C3 north")
+        eng.handle("play W C5 west")
+        resp, _ = eng.handle("printsgf")
+        sgf_text = resp[2:]
+        assert sgf_text.startswith("(;FF[4]GM[Coffee]")
+        p = tmp_path / "game.sgf"
+        p.write_text(sgf_text + "\n")
+        eng2 = GTPEngine(CFG, SP, max_visits=8)
+        resp2, _ = eng2.handle(f"loadsgf {p}")
+        assert resp2 == "="
+        assert eng2.engine.move_history == eng.engine.move_history
+
+
+class TestAnalysisEngine:
+    def make(self):
+        from katacoffee_tpu.command.analysis import AnalysisEngine
+
+        return AnalysisEngine(SP, default_visits=8)
+
+    def test_version_action(self):
+        (r,) = self.make().handle_query({"id": "q", "action": "query_version"})
+        assert r["id"] == "q" and "version" in r
+
+    def test_basic_query(self):
+        eng = self.make()
+        results = eng.handle_query(
+            {
+                "id": "foo",
+                "moves": [["B", "C3 north"], ["W", "C5 west"]],
+                "boardXSize": 5,
+                "boardYSize": 5,
+                "rules": "coffee",
+                "analyzeTurns": [0, 1, 2],
+                "maxVisits": 8,
+            }
+        )
+        assert len(results) == 3
+        by_turn = {r["turnNumber"]: r for r in results}
+        assert set(by_turn) == {0, 1, 2}
+        for r in results:
+            assert r["id"] == "foo"
+            assert r["moveInfos"]
+            mi = r["moveInfos"][0]
+            assert mi["visits"] > 0 and 0 <= mi["winrate"] <= 1
+            assert r["rootInfo"]["currentPlayer"] in ("B", "W")
+        # turn 1: white constrained to column C
+        for mi in by_turn[1]["moveInfos"]:
+            assert mi["move"].startswith("C")
+
+    def test_initial_stones_and_policy(self):
+        eng = self.make()
+        (r,) = eng.handle_query(
+            {
+                "id": "b",
+                "moves": [],
+                "initialStones": [["B", "C3"]],
+                "initialPlayer": "W",
+                "boardXSize": 5,
+                "boardYSize": 5,
+                "rules": {"winLen": 4},
+                "includePolicy": True,
+                "maxVisits": 4,
+            }
+        )
+        assert r["rootInfo"]["currentPlayer"] == "W"
+        assert len(r["policy"]) == CFG.policy_size
+
+    def test_errors(self):
+        eng = self.make()
+        (r,) = eng.handle_query({"id": "x", "moves": [["B", "Z9 north"]]})
+        assert "error" in r
+        results = eng.handle_query({"id": "y", "moves": [], "analyzeTurns": [5]})
+        assert results[0]["error"] == "turn out of range"
+
+    def test_jsonl_run(self, capsys):
+        import io
+
+        eng = self.make()
+        inp = io.StringIO(
+            json.dumps({"id": "a", "moves": [], "maxVisits": 4}) + "\n" + "not json\n"
+        )
+        out = io.StringIO()
+        eng.run(inp, out)
+        lines = [json.loads(l) for l in out.getvalue().splitlines()]
+        assert lines[0]["id"] == "a"
+        assert "error" in lines[1]
+
+
+class TestMatch:
+    def test_uniform_selfmatch_is_fair(self):
+        from katacoffee_tpu.program.match import run_match
+        from katacoffee_tpu.search import uniform_eval_fn
+
+        ev = uniform_eval_fn(CFG)
+        result = run_match(CFG, SP, SP, ev, ev, num_games=32, num_visits=8, seed=0)
+        assert result.games == 32
+        assert result.wins_a + result.wins_b + result.draws == 32
+        # identical bots: score should be near 0.5
+        assert 0.2 < result.score_a < 0.8
+
+    def test_sgf_records(self):
+        from katacoffee_tpu.program.match import match_sgfs, run_match
+        from katacoffee_tpu.dataio.sgf import parse_sgf
+        from katacoffee_tpu.search import uniform_eval_fn
+        from tests.oracle import OracleGame
+
+        ev = uniform_eval_fn(CFG)
+        result = run_match(
+            CFG, SP, SP, ev, ev, num_games=4, num_visits=8, seed=1, record_moves=True
+        )
+        texts = match_sgfs(CFG, result, "botA", "botB")
+        assert len(texts) == 4
+        for g, text in enumerate(texts):
+            sgf = parse_sgf(text)
+            # replay through the oracle: every recorded move must be legal
+            # and the recorded result must match
+            game = OracleGame()
+            for x, y, d, pla in sgf.moves():
+                if game.done:
+                    break
+                assert pla == game.to_move
+                assert game.is_legal(x, y, d)
+                game.play(x, y, d)
+            if game.done:
+                want = {1: "B+", 2: "W+", 0: "0"}[game.winner]
+                assert sgf.result() == want
+
+
+class TestTimeControls:
+    def test_fischer(self):
+        tc = TimeControls.fischer(30.0, 2.0)
+        t = tc.time_for_move(moves_left_estimate=10)
+        assert 2.0 < t < 6.0
+        tc.update_after_move(3.0)
+        assert tc.main_time_left == pytest.approx(29.0)
+
+    def test_byo_yomi(self):
+        tc = TimeControls.byo_yomi(0.0, 5.0, 3)
+        t = tc.time_for_move()
+        assert 0 < t <= 5.0
+        tc.update_after_move(12.0)  # blow through one period
+        assert tc.periods_left <= 3
+
+    def test_none_unlimited(self):
+        tc = TimeControls()
+        assert tc.time_for_move() == float("inf")
+        assert visits_for_time(float("inf"), 100.0, 600) == 600
+
+    def test_visits_conversion(self):
+        assert visits_for_time(2.0, 100.0, 600) == 200
+        assert visits_for_time(100.0, 100.0, 600) == 600
+        assert visits_for_time(0.0, 100.0, 600) == 2
