@@ -178,36 +178,37 @@ class AnalysisEngine:
     def _extract(self, qid, turn, cfg, tree, i, query, state) -> dict:
         children = np.asarray(tree.children[i])
         visits = np.asarray(tree.visits[i])
+        edge_visits = np.asarray(tree.edge_visits[i])
         wl = np.asarray(tree.wl_avg[i])
         util = np.asarray(tree.utility_avg[i])
         usq = np.asarray(tree.utility_sq_avg[i])
         wsum = np.asarray(tree.weight_sum[i])
         wsq = np.asarray(tree.weight_sq_sum[i])
-        prior = np.asarray(tree.prior[i, 0])
+        prior = np.asarray(tree.root_prior[i])
 
         infos = []
         root_child = children[0]
         for a in np.where(root_child >= 0)[0]:
             ci = root_child[a]
-            v = int(visits[ci])
+            v = int(edge_visits[0, a])
             if v <= 0:
                 continue
+            escale = v / max(int(visits[ci]), 1)
             u = -float(util[ci])
             var = max(float(usq[ci]) - float(util[ci]) ** 2, 1e-8)
-            w = float(wsum[ci])
-            ess = w * w / max(float(wsq[ci]), 1e-12)
+            w = float(wsum[ci]) * escale
+            ess = w * w / max(float(wsq[ci]) * escale, 1e-12)
             lcb_u = u - self.sp.lcbStdevs * (var / max(ess, 1.0)) ** 0.5
-            # PV by max visits
+            # PV by max edge visits
             pv = [gio.action_to_compact(int(a), cfg)]
             node = int(ci)
             for _ in range(10):
                 ch = children[node]
-                live_a = np.where(ch >= 0)[0]
+                ev = edge_visits[node]
+                live_a = np.where((ch >= 0) & (ev > 0))[0]
                 if live_a.size == 0:
                     break
-                best = live_a[np.argmax(visits[ch[live_a]])]
-                if visits[ch[best]] <= 0:
-                    break
+                best = live_a[np.argmax(ev[live_a])]
                 pv.append(gio.action_to_compact(int(best), cfg))
                 node = int(ch[best])
             infos.append(

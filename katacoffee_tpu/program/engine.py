@@ -226,20 +226,25 @@ class Engine:
         cfg = self.cfg
         children = np.asarray(tree.children[0])  # [N, A]
         visits = np.asarray(tree.visits[0])  # [N]
+        edge_visits = np.asarray(tree.edge_visits[0])  # [N, A]
         wl = np.asarray(tree.wl_avg[0])
         draw = np.asarray(tree.draw_avg[0])
         util = np.asarray(tree.utility_avg[0])
         usq = np.asarray(tree.utility_sq_avg[0])
         wsum = np.asarray(tree.weight_sum[0])
         wsq = np.asarray(tree.weight_sq_sum[0])
-        prior = np.asarray(tree.prior[0, 0])  # [A]
+        prior = np.asarray(tree.root_prior[0])  # [A]
 
         root_child = children[0]  # [A]
         cand = np.where(root_child >= 0)[0]
         rows = []
         for a in cand:
             ci = root_child[a]
-            v = int(visits[ci])
+            # per-edge visits: under transpositions a child's own visits can
+            # exceed this root's exploration of it (childWeight scaling,
+            # searchnode.h:59-64)
+            v = int(edge_visits[0, a])
+            escale = v / max(int(visits[ci]), 1)
             if v <= 0:
                 continue
             # parent (root) perspective = negate child's mover values
@@ -247,8 +252,8 @@ class Engine:
             child_wl = -float(wl[ci])
             d_prob = float(draw[ci])
             var = max(float(usq[ci]) - float(util[ci]) ** 2, 1e-8)
-            w = float(wsum[ci])
-            ess = w * w / max(float(wsq[ci]), 1e-12)
+            w = float(wsum[ci]) * escale
+            ess = w * w / max(float(wsq[ci]) * escale, 1e-12)
             stdev = (var / max(ess, 1.0)) ** 0.5
             lcb = u - self.sp.lcbStdevs * stdev
             rows.append(
@@ -262,7 +267,7 @@ class Engine:
                     lcb=lcb,
                     prior=float(max(prior[a], 0.0)),
                     order=0,
-                    pv=self._pv(children, visits, int(ci), int(a), pv_len),
+                    pv=self._pv(children, edge_visits, int(ci), int(a), pv_len),
                 )
             )
         rows.sort(key=lambda r: (-r.visits, -r.utility))
@@ -276,19 +281,17 @@ class Engine:
             move_infos=rows[:max_moves],
         )
 
-    def _pv(self, children: np.ndarray, visits: np.ndarray, node: int, first_action: int, pv_len: int) -> list[str]:
-        """Principal variation: follow max-child-visits from `node`
+    def _pv(self, children: np.ndarray, edge_visits: np.ndarray, node: int, first_action: int, pv_len: int) -> list[str]:
+        """Principal variation: follow max-edge-visits from `node`
         (searchresults.cpp appendPV semantics)."""
         pv = [gio.action_to_string(first_action, self.cfg)]
         for _ in range(pv_len - 1):
             ch = children[node]
-            live = np.where(ch >= 0)[0]
+            ev = edge_visits[node]
+            live = np.where((ch >= 0) & (ev > 0))[0]
             if live.size == 0:
                 break
-            v = visits[ch[live]]
-            best = live[np.argmax(v)]
-            if visits[ch[best]] <= 0:
-                break
+            best = live[np.argmax(ev[live])]
             pv.append(gio.action_to_string(int(best), self.cfg))
             node = int(ch[best])
         return pv

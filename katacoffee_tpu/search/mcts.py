@@ -16,15 +16,42 @@ KataGo semantics implemented (file:line cite → here):
   * FPU: parent utility (optionally blended toward parent NN value) minus
     fpuReductionMax·sqrt(visited policy mass), loss-prop shift
     (searchexplorehelpers.cpp:262-300).
+  * Graph search (useGraphSearch): node dedup by situation hash — in Coffee
+    stones only accumulate, so the game graph is a DAG and the plain
+    situation hash is a sound transposition key (no GraphHash path-class
+    chain needed, game/graphhash.cpp:14-44 becomes game/board.py
+    situation_hash). Transposed children are linked, not re-evaluated;
+    per-edge visit counts are tracked separately from node visits; child
+    weight in selection/aggregation scales by edgeVisits/childVisits
+    (searchnode.h:59-64 childWeight); edge-visit catch-up claims an edge
+    visit without descending when edge < child visits, with an optional
+    leak-through probability (search.cpp:1169-1206 maybeCatchUpEdgeVisits).
   * Value aggregation: each backup recomputes every path node's stats from
-    its children with value-based downweighting — z-scored child utilities
+    its child edges with value-based downweighting — z-scored child utilities
     through a normal CDF raised to valueWeightExponent
     (searchupdatehelpers.cpp:330-417 downweightBadChildrenAndNormalizeWeight).
+  * Noise pruning (useNoisePruning): children whose utility trails the
+    weighted average of higher-policy children are capped near twice their
+    raw-policy weight share (searchupdatehelpers.cpp pruneNoiseWeight).
+    Deviation: the reference's scan is sequential in policy order, using
+    already-pruned weights of earlier children; we vectorize with prefix sums
+    over *unpruned* weights — identical unless an earlier sibling was itself
+    pruned, a second-order effect.
+  * Subtree value bias (subtreeValueBiasFactor): per-game table keyed by
+    (mover, previous move, move before that) accumulating
+    (childrenUtility − nnUtility)·weight deltas differentially; a fraction of
+    the entry average is added to each node's direct eval at every recompute
+    (searchupdatehelpers.cpp:27-37,254-285, subtreevaluebiastable.h). The
+    reference key also folds a local board pattern; on a 5×5 board the two
+    previous moves already nearly determine the local pattern, so we key on
+    (mover, prev, prev2) hashed into a fixed per-game table.
   * Uncertainty-weighted evals: weight = coeff/(err^exp + coeff/maxWeight)
-    (searchupdatehelpers.cpp:103-121).
+    (searchupdatehelpers.cpp:98-121).
   * Root Dirichlet noise with KataGo's alpha allocation (half uniform, half
     shaped by excess log-policy; searchhelpers.cpp computeDirichletAlpha
     Distribution) and root policy temperature with early-game interpolation.
+    Root priors live in a separate root_prior array; node priors stay raw, so
+    a reused subtree node can become the root and get fresh noise.
   * Forced playouts at root: children with >0 visits are forced up to
     sqrt(coeff·P·totalVisits) visits (searchexplorehelpers.cpp:150).
   * Terminal handling: terminal nodes are re-visited, re-adding the exact
@@ -32,11 +59,9 @@ KataGo semantics implemented (file:line cite → here):
     meaningless in lockstep).
   * LCB move selection + temperature (searchresults.cpp, see select_moves).
 
-Not in v1 (flag-gated, documented): graph-search transpositions + edge-visit
-catch-up (search.cpp:704-759,1169-1206), subtree value bias table, noise
-pruning (pruneNoiseWeight's sequential policy-ordered scan), pattern bonus,
-tree reuse between moves. These are strength refinements the reference itself
-gates behind config flags; planned for round 2.
+Not yet implemented (documented): pattern bonus (avoid-repetition utility
+bonuses, patternbonustable.cpp — a Go-selfplay diversity device), anti-mirror
+(Go-specific, dropped per SURVEY.md §2.3).
 
 Perspective convention: node utilities are stored from the viewpoint of the
 player to move AT THAT NODE (negamax). The reference stores white-perspective
@@ -51,12 +76,22 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from katacoffee_tpu.game.board import GameConfig, GameState, legal_mask_flat, step
+from katacoffee_tpu.game.board import (
+    GameConfig,
+    GameState,
+    legal_mask_flat,
+    situation_hash,
+    step,
+)
 from katacoffee_tpu.nn.features import extract_features
 from katacoffee_tpu.search.params import SearchParams
 
 # A tiny weight floor to avoid 0/0 in averages.
 _EPS = 1e-8
+
+# Subtree-value-bias table slots per game (hashed (mover, prev, prev2) keys;
+# collisions blur the bias, which is a heuristic — acceptable and documented).
+BIAS_SLOTS = 16384
 
 
 class Tree(NamedTuple):
@@ -70,16 +105,23 @@ class Tree(NamedTuple):
     utility_sq_avg: jax.Array  # [B, N] f32
     wl_avg: jax.Array  # [B, N] f32 win-minus-loss prob avg (mover persp.)
     draw_avg: jax.Array  # [B, N] f32 draw probability avg (side-agnostic)
-    self_utility: jax.Array  # [B, N] f32 raw NN/terminal utility
+    self_utility: jax.Array  # [B, N] f32 raw NN/terminal utility (un-biased)
     self_wl: jax.Array  # [B, N] f32 raw NN/terminal winloss
     self_draw: jax.Array  # [B, N] f32 raw NN/terminal draw prob
     self_weight: jax.Array  # [B, N] f32 uncertainty-derived eval weight
-    prior: jax.Array  # [B, N, A] f32; illegal moves = -1
+    prior: jax.Array  # [B, N, A] f32 raw policy; illegal moves = -1
+    root_prior: jax.Array  # [B, A] f32 root policy after temp/noise; -1 illegal
     children: jax.Array  # [B, N, A] int32 child index or -1
-    parent: jax.Array  # [B, N] int32
+    edge_visits: jax.Array  # [B, N, A] int32 per-edge visit counts
+    parent: jax.Array  # [B, N] int32 (first parent under transpositions)
     parent_action: jax.Array  # [B, N] int32
     is_terminal: jax.Array  # [B, N] bool
     node_count: jax.Array  # [B] int32
+    sit_hash: jax.Array  # [B, N, 2] uint32 situation hash (transposition key)
+    bias_key: jax.Array  # [B, N] int32 (or [B,1] dummy when bias off)
+    last_bias_delta: jax.Array  # [B, N] f32 node's last table contribution
+    last_bias_weight: jax.Array  # [B, N] f32
+    bias_table: jax.Array  # [B, K, 2] f32 (deltaUtilitySum, weightSum)
 
 
 class EvalResult(NamedTuple):
@@ -155,7 +197,7 @@ def make_nn_eval_fn(cfg: GameConfig, model, params, policy_optimism: float = 0.0
 
 
 # ---------------------------------------------------------------------------
-# Construction
+# Small helpers
 # ---------------------------------------------------------------------------
 
 
@@ -168,6 +210,73 @@ def _eval_weight(sp: SearchParams, shortterm_error: jax.Array) -> jax.Array:
         err = jnp.power(jnp.maximum(err, 0.0), sp.uncertaintyExponent)
     baseline = sp.uncertaintyCoeff / sp.uncertaintyMaxWeight
     return sp.uncertaintyCoeff / (err + baseline)
+
+
+def _terminal_utility(states: GameState) -> jax.Array:
+    """Utility of a finished game from the perspective of the player to move
+    (who did NOT make the final move): loss if there is a winner, 0 on draw.
+    Reference: boardhistory.cpp:171-175 (mover wins) + decision 8 (draw=0)."""
+    return jnp.where(states.winner == 0, 0.0, -1.0)
+
+
+def _bias_keys(cfg: GameConfig, states: GameState) -> jax.Array:
+    """[B] int32 subtree-value-bias table slot from (mover of last move,
+    last move, move before that) — the array analogue of
+    SubtreeValueBiasTable::get (subtreevaluebiastable.h:29)."""
+    area = cfg.area
+    sentinel = 4 * area  # "no move"
+    s0 = states.recent_spots[..., 0]
+    d0 = states.recent_dirs[..., 0]
+    a0 = jnp.where(s0 >= 0, jnp.minimum(d0, 3) * area + s0, sentinel)
+    s1 = states.recent_spots[..., 1]
+    d1 = states.recent_dirs[..., 1]
+    a1 = jnp.where(s1 >= 0, jnp.minimum(d1, 3) * area + s1, sentinel)
+    mover = (3 - states.to_move).astype(jnp.int32) - 1  # 0/1
+    import numpy as _np
+
+    k = (a0 * (sentinel + 1) + a1) * 2 + mover
+    k = (k.astype(jnp.uint32) * _np.uint32(2654435761)) >> _np.uint32(18)
+    return (k % _np.uint32(BIAS_SLOTS)).astype(jnp.int32)
+
+
+def _bias_avg(sp: SearchParams, tree: Tree, bidx, key: jax.Array) -> jax.Array:
+    """factor * entry average where the entry has weight (addLeafValue
+    searchupdatehelpers.cpp:27-37)."""
+    entry = tree.bias_table[bidx, key]  # [B, 2]
+    return jnp.where(
+        entry[:, 1] > 0.001,
+        sp.subtreeValueBiasFactor * entry[:, 0] / jnp.maximum(entry[:, 1], 1e-9),
+        0.0,
+    )
+
+
+def _child_edge_stats(tree: Tree, bidx, node):
+    """Per-action child stats with edge-scaled weights (NodeStats::childWeight,
+    searchnode.h:59-64): w = childWeightSum * edgeVisits / max(childVisits,1).
+    Returns dict of [B, A] arrays; missing edges have weight 0."""
+    child = tree.children[bidx, node]  # [B, A]
+    has = child >= 0
+    cidx = jnp.maximum(child, 0)
+    evis = tree.edge_visits[bidx, node].astype(jnp.float32)
+    cvis = tree.visits[bidx[:, None], cidx].astype(jnp.float32)
+    scale = evis / jnp.maximum(cvis, 1.0)
+    live = has & (evis > 0)
+    w = jnp.where(live, tree.weight_sum[bidx[:, None], cidx] * scale, 0.0)
+    wsq = jnp.where(live, tree.weight_sq_sum[bidx[:, None], cidx] * scale, 0.0)
+    u = jnp.where(live, -tree.utility_avg[bidx[:, None], cidx], 0.0)  # parent persp
+    usq = jnp.where(live, tree.utility_sq_avg[bidx[:, None], cidx], 0.0)
+    wl = jnp.where(live, -tree.wl_avg[bidx[:, None], cidx], 0.0)
+    draw = jnp.where(live, tree.draw_avg[bidx[:, None], cidx], 0.0)
+    return dict(
+        child=child, has=has, cidx=cidx, live=live,
+        w=w, wsq=wsq, u=u, usq=usq, wl=wl, draw=draw,
+        evis=evis, cvis=cvis,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
 
 
 def init_tree(
@@ -194,29 +303,8 @@ def init_tree(
     res = eval_fn(root_states, k_eval)
     legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(root_states)
 
-    policy = res.policy
-    if turn_number is None:
-        turn_number = root_states.num_turns.astype(jnp.float32)
-    else:
-        turn_number = turn_number.astype(jnp.float32)
-
-    # Root policy temperature with early-game interpolation
-    # (searchhelpers.cpp maybeAddPolicyNoiseAndTemp / interpolateEarly)
-    if sp.rootPolicyTemperature != 1.0 or sp.rootPolicyTemperatureEarly != 1.0:
-        halflife = sp.chosenMoveTemperatureHalflife
-        frac = 0.5 ** (turn_number / halflife)
-        temp = sp.rootPolicyTemperature + frac * (
-            sp.rootPolicyTemperatureEarly - sp.rootPolicyTemperature
-        )
-        logp = jnp.log(jnp.maximum(policy, 1e-30)) / temp[:, None]
-        logp = jnp.where(legal, logp, -jnp.inf)
-        policy = jax.nn.softmax(logp, axis=-1)
-        policy = jnp.where(legal, policy, 0.0)
-
-    if sp.rootNoiseEnabled:
-        policy = _add_dirichlet_noise(sp, k_noise, policy, legal)
-
-    root_prior = jnp.where(legal, policy, -1.0)
+    raw_prior = jnp.where(legal, res.policy, -1.0)
+    root_prior = _make_root_prior(cfg, sp, res.policy, legal, root_states, k_noise, turn_number)
 
     w0 = _eval_weight(sp, res.shortterm_error)
     root_term = root_states.done
@@ -231,7 +319,16 @@ def init_tree(
         arr = jnp.full((B, N), fill, dtype=val.dtype)
         return arr.at[:, 0].set(val)
 
-    zf = jnp.zeros((B, N), jnp.float32)
+    root_hash = jax.vmap(functools.partial(situation_hash, cfg))(root_states)
+
+    use_bias = sp.subtreeValueBiasFactor != 0.0
+    K = BIAS_SLOTS if use_bias else 1
+    bias_key0 = (
+        slot0(_bias_keys(cfg, root_states), 0)
+        if use_bias
+        else jnp.zeros((B, N), jnp.int32)
+    )
+
     tree = Tree(
         states=states,
         visits=slot0(jnp.ones((B,), jnp.int32), 0),
@@ -245,21 +342,46 @@ def init_tree(
         self_wl=slot0(wl0, 0.0),
         self_draw=slot0(d0, 0.0),
         self_weight=slot0(w0, 0.0),
-        prior=jnp.zeros((B, N, A), jnp.float32).at[:, 0].set(root_prior),
+        prior=jnp.zeros((B, N, A), jnp.float32).at[:, 0].set(raw_prior),
+        root_prior=root_prior,
         children=jnp.full((B, N, A), -1, jnp.int32),
+        edge_visits=jnp.zeros((B, N, A), jnp.int32),
         parent=jnp.full((B, N), -1, jnp.int32),
         parent_action=jnp.full((B, N), -1, jnp.int32),
         is_terminal=jnp.zeros((B, N), bool).at[:, 0].set(root_term),
         node_count=jnp.ones((B,), jnp.int32),
+        sit_hash=jnp.zeros((B, N, 2), jnp.uint32).at[:, 0].set(root_hash),
+        bias_key=bias_key0,
+        last_bias_delta=jnp.zeros((B, N), jnp.float32),
+        last_bias_weight=jnp.zeros((B, N), jnp.float32),
+        bias_table=jnp.zeros((B, K, 2), jnp.float32),
     )
     return tree
 
 
-def _terminal_utility(states: GameState) -> jax.Array:
-    """Utility of a finished game from the perspective of the player to move
-    (who did NOT make the final move): loss if there is a winner, 0 on draw.
-    Reference: boardhistory.cpp:171-175 (mover wins) + decision 8 (draw=0)."""
-    return jnp.where(states.winner == 0, 0.0, -1.0)
+def _make_root_prior(cfg, sp: SearchParams, policy, legal, root_states, k_noise, turn_number):
+    """Root policy temperature (early-game interpolated) + Dirichlet noise
+    (searchhelpers.cpp maybeAddPolicyNoiseAndTemp)."""
+    if turn_number is None:
+        turn_number = root_states.num_turns.astype(jnp.float32)
+    else:
+        turn_number = turn_number.astype(jnp.float32)
+
+    if sp.rootPolicyTemperature != 1.0 or sp.rootPolicyTemperatureEarly != 1.0:
+        halflife = sp.chosenMoveTemperatureHalflife
+        frac = 0.5 ** (turn_number / halflife)
+        temp = sp.rootPolicyTemperature + frac * (
+            sp.rootPolicyTemperatureEarly - sp.rootPolicyTemperature
+        )
+        logp = jnp.log(jnp.maximum(policy, 1e-30)) / temp[:, None]
+        logp = jnp.where(legal, logp, -jnp.inf)
+        policy = jax.nn.softmax(logp, axis=-1)
+        policy = jnp.where(legal, policy, 0.0)
+
+    if sp.rootNoiseEnabled:
+        policy = _add_dirichlet_noise(sp, k_noise, policy, legal)
+
+    return jnp.where(legal, policy, -1.0)
 
 
 def _add_dirichlet_noise(sp, rng, policy, legal):
@@ -292,16 +414,13 @@ def _select_action(cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: 
     node: [B] current node per game. Returns chosen action [B]."""
     B = node.shape[0]
     bidx = jnp.arange(B)
-    A = tree.prior.shape[-1]
 
-    prior = tree.prior[bidx, node]  # [B, A]
-    child = tree.children[bidx, node]  # [B, A]
-    has_child = child >= 0
-    cidx = jnp.maximum(child, 0)
-
-    child_w = jnp.where(has_child, tree.weight_sum[bidx[:, None], cidx], 0.0)
-    child_u_own = tree.utility_avg[bidx[:, None], cidx]
-    child_q = jnp.where(has_child, -child_u_own, 0.0)  # parent perspective
+    raw_prior = tree.prior[bidx, node]  # [B, A]
+    prior = jnp.where(is_root[:, None], tree.root_prior, raw_prior)
+    cs = _child_edge_stats(tree, bidx, node)
+    child_w = cs["w"]
+    child_q = cs["u"]
+    has_child = cs["live"]
 
     total_child_w = child_w.sum(-1)
 
@@ -371,78 +490,131 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
     B = tree.visits.shape[0]
     bidx = jnp.arange(B)
     A = tree.prior.shape[-1]
+    k_leak, k_eval, rng = jax.random.split(rng, 3)
 
     # ---------------- Descent ----------------
-    # Walk down until hitting a missing edge or a terminal node. Record path.
-    path0 = jnp.full((B, max_depth + 1), -1, jnp.int32)
-    path0 = path0.at[:, 0].set(0)
+    # Walk down until a missing edge (expand), a terminal node (revisit), or
+    # an edge-visit catch-up stop. Record the node path and per-level actions.
+    path0 = jnp.full((B, max_depth + 1), -1, jnp.int32).at[:, 0].set(0)
+    acts0 = jnp.zeros((B, max_depth + 1), jnp.int32)
 
     def cond(carry):
-        _, _, active, _, _ = carry
+        _, _, active, _, _, _ = carry
         return jnp.any(active)
 
     def body(carry):
-        node, depth, active, path, action = carry
+        node, depth, active, path, acts, catch = carry
         is_root = node == 0
         term = tree.is_terminal[bidx, node]
-        # stop at terminal node: it is the leaf
         act = _select_action(cfg, sp, tree, node, is_root)
         child = tree.children[bidx, node, act]
         has_child = child >= 0
-        stop = term | ~has_child
+        cidx = jnp.maximum(child, 0)
+
+        if sp.useGraphSearch:
+            evis = tree.edge_visits[bidx, node, act]
+            cvis = tree.visits[bidx, cidx]
+            want_catch = has_child & (evis < cvis)
+            if sp.graphSearchCatchUpLeakProb > 0.0:
+                leak_key = jax.random.fold_in(k_leak, 0)
+                # per-(game, depth) leak decision
+                u = jax.random.uniform(jax.random.fold_in(leak_key, 1), (B, max_depth + 1))
+                leak = u[bidx, jnp.minimum(depth, max_depth)] < sp.graphSearchCatchUpLeakProb
+                want_catch = want_catch & ~leak
+        else:
+            want_catch = jnp.zeros((B,), bool)
+
+        stop = term | want_catch | ~has_child
         move_on = active & ~stop
-        new_node = jnp.where(move_on, jnp.maximum(child, 0), node)
+        # record the action at this node (the stopping edge for expand/catch)
+        acts = acts.at[bidx, jnp.where(active & ~term, depth, max_depth)].set(
+            jnp.where(active & ~term, act, acts[:, max_depth])
+        )
+        new_node = jnp.where(move_on, cidx, node)
         new_depth = jnp.where(move_on, depth + 1, depth)
         path = path.at[bidx, jnp.where(move_on, new_depth, 0)].set(
             jnp.where(move_on, new_node, path[:, 0])
         )
-        action = jnp.where(active & ~term, act, action)
+        catch = catch | (active & want_catch & ~term)
         new_active = move_on & (new_depth < max_depth)
-        return new_node, new_depth, new_active, path, action
+        return new_node, new_depth, new_active, path, acts, catch
 
     node0 = jnp.zeros((B,), jnp.int32)
     depth0 = jnp.zeros((B,), jnp.int32)
     active0 = jnp.ones((B,), bool)
-    action0 = jnp.zeros((B,), jnp.int32)
-    leaf, leaf_depth, _, path, action = jax.lax.while_loop(
-        cond, body, (node0, depth0, active0, path0, action0)
+    catch0 = jnp.zeros((B,), bool)
+    leaf, leaf_depth, _, path, act_path, caught = jax.lax.while_loop(
+        cond, body, (node0, depth0, active0, path0, acts0, catch0)
     )
+    action = act_path[bidx, leaf_depth]  # the stopping edge's action
 
     leaf_terminal = tree.is_terminal[bidx, leaf]
+    expanding = ~leaf_terminal & ~caught
 
     # ---------------- Expansion ----------------
-    # For non-terminal leaves: create the child via env step + NN eval.
+    # For expanding games: step the env, evaluate, then either link to a
+    # transposed existing node (graph search) or allocate a new slot.
     leaf_states = jax.tree_util.tree_map(lambda x: x[bidx, leaf], tree.states)
     new_states = jax.vmap(functools.partial(step, cfg))(leaf_states, action)
-    k_eval, rng = jax.random.split(rng)
     res = eval_fn(new_states, k_eval)
+
+    if sp.useGraphSearch:
+        new_hash = jax.vmap(functools.partial(situation_hash, cfg))(new_states)  # [B,2]
+        slot_valid = jnp.arange(tree.visits.shape[1])[None, :] < tree.node_count[:, None]
+        hmatch = (
+            slot_valid
+            & (tree.sit_hash[:, :, 0] == new_hash[:, 0:1])
+            & (tree.sit_hash[:, :, 1] == new_hash[:, 1:2])
+        )
+        found = hmatch.any(axis=1) & expanding
+        found_idx = jnp.argmax(hmatch, axis=1)
+    else:
+        found = jnp.zeros((B,), bool)
+        found_idx = jnp.zeros((B,), jnp.int32)
 
     new_idx = tree.node_count  # [B] next free slot
     capacity_ok = new_idx < tree.visits.shape[1]
-    do_expand = ~leaf_terminal & capacity_ok
+    do_alloc = expanding & ~found & capacity_ok
+    do_link = expanding & found
+    overflow = expanding & ~found & ~capacity_ok
 
     new_terminal = new_states.done
     term_util = _terminal_utility(new_states)
     legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(new_states)
     new_prior = jnp.where(legal, res.policy, -1.0)
-    u_new = jnp.where(new_terminal, term_util, res.utility)
+    u_raw = jnp.where(new_terminal, term_util, res.utility)
     wl_new = jnp.where(new_terminal, term_util, res.wl)
-    d_new = jnp.where(
-        new_terminal, (new_states.winner == 0).astype(jnp.float32), res.draw
-    )
+    d_new = jnp.where(new_terminal, (new_states.winner == 0).astype(jnp.float32), res.draw)
     w_new = jnp.where(new_terminal, 1.0, _eval_weight(sp, res.shortterm_error))
 
-    slot = jnp.where(do_expand, new_idx, 0)  # write target (slot 0 writes are masked)
+    use_bias = sp.subtreeValueBiasFactor != 0.0
+    if use_bias:
+        new_keys = _bias_keys(cfg, new_states)
+        # addLeafValue: bias the initial utility toward the table entry
+        u_init = u_raw + jnp.where(new_terminal, 0.0, _bias_avg(sp, tree, bidx, new_keys))
+    else:
+        new_keys = jnp.zeros((B,), jnp.int32)
+        u_init = u_raw
+
+    slot = jnp.where(do_alloc, new_idx, 0)  # slot-0 writes are masked out
 
     def upd(arr, val):
         old = arr[bidx, slot]
-        return arr.at[bidx, slot].set(jnp.where(do_expand, val, old))
+        return arr.at[bidx, slot].set(jnp.where(do_alloc, val, old))
 
+    if sp.useGraphSearch:
+        sit_hash = tree.sit_hash.at[bidx, slot].set(
+            jnp.where(do_alloc[:, None], new_hash, tree.sit_hash[bidx, slot])
+        )
+    else:
+        sit_hash = tree.sit_hash
+
+    new_child_idx = jnp.where(do_link, found_idx, new_idx)
     tree = tree._replace(
         states=jax.tree_util.tree_map(
             lambda full, new: full.at[bidx, slot].set(
                 jnp.where(
-                    jnp.reshape(do_expand, (B,) + (1,) * (new.ndim - 1)),
+                    jnp.reshape(do_alloc, (B,) + (1,) * (new.ndim - 1)),
                     new,
                     full[bidx, slot],
                 )
@@ -453,29 +625,39 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
         visits=upd(tree.visits, jnp.ones((B,), jnp.int32)),
         weight_sum=upd(tree.weight_sum, w_new),
         weight_sq_sum=upd(tree.weight_sq_sum, w_new * w_new),
-        utility_avg=upd(tree.utility_avg, u_new),
-        utility_sq_avg=upd(tree.utility_sq_avg, u_new * u_new),
+        utility_avg=upd(tree.utility_avg, u_init),
+        utility_sq_avg=upd(tree.utility_sq_avg, u_init * u_init),
         wl_avg=upd(tree.wl_avg, wl_new),
         draw_avg=upd(tree.draw_avg, d_new),
-        self_utility=upd(tree.self_utility, u_new),
+        self_utility=upd(tree.self_utility, u_raw),
         self_wl=upd(tree.self_wl, wl_new),
         self_draw=upd(tree.self_draw, d_new),
         self_weight=upd(tree.self_weight, w_new),
         prior=tree.prior.at[bidx, slot].set(
-            jnp.where(do_expand[:, None], new_prior, tree.prior[bidx, slot])
+            jnp.where(do_alloc[:, None], new_prior, tree.prior[bidx, slot])
         ),
         parent=upd(tree.parent, leaf),
         parent_action=upd(tree.parent_action, action),
         is_terminal=upd(tree.is_terminal, new_terminal),
+        sit_hash=sit_hash,
+        bias_key=upd(tree.bias_key, new_keys) if use_bias else tree.bias_key,
         children=tree.children.at[bidx, leaf, action].set(
-            jnp.where(do_expand, new_idx, tree.children[bidx, leaf, action])
+            jnp.where(do_alloc | do_link, new_child_idx, tree.children[bidx, leaf, action])
         ),
-        node_count=tree.node_count + do_expand.astype(jnp.int32),
+        node_count=tree.node_count + do_alloc.astype(jnp.int32),
+    )
+
+    # Stopping-edge visit bookkeeping:
+    #  * alloc/link: this playout traverses the new/linked edge once
+    #  * catch-up: claim exactly one edge visit (search.cpp:1199)
+    edge_inc = (do_alloc | do_link | caught).astype(jnp.int32)
+    tree = tree._replace(
+        edge_visits=tree.edge_visits.at[bidx, leaf, action].add(edge_inc)
     )
 
     # Terminal leaf (or capacity overflow): re-add its stored value
-    # (search.cpp:943-952). Incremental update of the leaf node itself.
-    revisit = ~do_expand
+    # (search.cpp:943-952) incrementally — terminal nodes have no children.
+    revisit = leaf_terminal | overflow
     leaf_w = tree.self_weight[bidx, leaf]
     leaf_u = tree.self_utility[bidx, leaf]
     leaf_wl = tree.self_wl[bidx, leaf]
@@ -506,21 +688,34 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
         visits=tree.visits.at[bidx, leaf].add(revisit.astype(jnp.int32)),
     )
 
+    # ---------------- Traversed-edge visits ----------------
+    # Every edge walked through on the way down gets one visit
+    # (addEdgeVisits on the unwind in the reference). One scatter: levels
+    # 0..leaf_depth-1 of (path[l], act_path[l]). A path never repeats an edge
+    # (the game DAG is acyclic — stones only accumulate), so adds don't alias.
+    lvl = jnp.arange(max_depth)[None, :]
+    on_edge = lvl < leaf_depth[:, None]
+    tree = tree._replace(
+        edge_visits=tree.edge_visits.at[
+            bidx[:, None], path[:, :max_depth], act_path[:, :max_depth]
+        ].add(on_edge.astype(jnp.int32))
+    )
+
     # ---------------- Backup ----------------
     # Recompute stats bottom-up along the path (updateStatsAfterPlayout →
-    # recomputeNodeStats for each ancestor, searchupdatehelpers.cpp:125-337).
-    # On expansion the deepest recomputed node is the new child's parent
-    # (path[leaf_depth]); on a terminal/overflow revisit the leaf itself was
-    # already updated incrementally above (addLeafValue semantics — terminal
-    # nodes have no children to aggregate), so start at its parent.
+    # recomputeNodeStats, searchupdatehelpers.cpp:125-337). For a terminal/
+    # overflow revisit the leaf was updated incrementally above, so start at
+    # its parent; for expansion/link/catch-up start at the stopping node
+    # itself (its child edges changed).
+    limit = jnp.where(revisit, leaf_depth - 1, leaf_depth)
+
     def backup_level(i, tr):
-        lvl = max_depth - 1 - i
-        n = path[:, lvl]
-        limit = jnp.where(revisit, leaf_depth - 1, leaf_depth)
-        on_path = (lvl <= limit) & (n >= 0)
+        l = max_depth - i
+        n = path[:, l]
+        on_path = (l <= limit) & (n >= 0) & (l <= leaf_depth)
         return _recompute_node(cfg, sp, tr, n, on_path)
 
-    tree = jax.lax.fori_loop(0, max_depth, backup_level, tree)
+    tree = jax.lax.fori_loop(0, max_depth + 1, backup_level, tree)
     return tree, rng
 
 
@@ -530,47 +725,119 @@ def _norm_cdf(z):
 
 def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: jax.Array):
     """recomputeNodeStats for [B] nodes (searchupdatehelpers.cpp:152-337):
-    aggregate children with value-based downweighting, add self eval."""
+    aggregate child edges with noise pruning + value-based downweighting,
+    update the subtree-value-bias entry, and add the node's (biased) direct
+    eval."""
     B = node.shape[0]
     bidx = jnp.arange(B)
+    is_root = node == 0
 
-    child = tree.children[bidx, node]  # [B, A]
-    has_child = child >= 0
-    cidx = jnp.maximum(child, 0)
-    cw = jnp.where(has_child, tree.weight_sum[bidx[:, None], cidx], 0.0)
-    cu = jnp.where(has_child, -tree.utility_avg[bidx[:, None], cidx], 0.0)  # parent persp
-    cwl = jnp.where(has_child, -tree.wl_avg[bidx[:, None], cidx], 0.0)
-    cdraw = jnp.where(has_child, tree.draw_avg[bidx[:, None], cidx], 0.0)
-    cusq = jnp.where(has_child, tree.utility_sq_avg[bidx[:, None], cidx], 0.0)
-    cwsq = jnp.where(has_child, tree.weight_sq_sum[bidx[:, None], cidx], 0.0)
+    cs = _child_edge_stats(tree, bidx, node)
+    cw, cu, cwl, cdraw, cusq, cwsq = (
+        cs["w"], cs["u"], cs["wl"], cs["draw"], cs["usq"], cs["wsq"],
+    )
+    orig_total = cw.sum(-1)
 
-    total_w = cw.sum(-1)
+    # --- noise pruning (pruneNoiseWeight, vectorized approximation) ---
+    if sp.useNoisePruning:
+        raw_prior = jnp.maximum(tree.prior[bidx, node], 1e-30)
+        order = jnp.argsort(-raw_prior, axis=-1)  # policy-descending
+        w_o = jnp.take_along_axis(cw, order, axis=-1)
+        u_o = jnp.take_along_axis(cu, order, axis=-1)
+        p_o = jnp.take_along_axis(raw_prior, order, axis=-1)
+        cum_w = jnp.cumsum(w_o, axis=-1) - w_o
+        cum_uw = jnp.cumsum(u_o * w_o, axis=-1) - u_o * w_o
+        cum_p = jnp.cumsum(p_o, axis=-1) - p_o
+        avg_so_far = cum_uw / jnp.maximum(cum_w, _EPS)
+        gap = avg_so_far - u_o
+        share = cum_w * p_o / jnp.maximum(cum_p, 1e-30)
+        excess = jnp.maximum(w_o - 2.0 * share, 0.0)
+        sub = jnp.where(
+            (gap > 0) & (cum_w > 0),
+            excess * (1.0 - jnp.exp(-gap / sp.noisePruneUtilityScale)),
+            0.0,
+        )
+        if sp.noisePruningCap < 1e30:  # default 1e50 = uncapped (f32-safe)
+            sub = jnp.minimum(sub, sp.noisePruningCap)
+        w_pruned_o = w_o - sub
+        cw_used = jnp.zeros_like(cw).at[bidx[:, None], order].set(w_pruned_o)
+    else:
+        cw_used = cw
+
+    # --- root noise subtraction when not noise-pruning ---
+    # (searchupdatehelpers.cpp:199-209)
+    if sp.rootNoiseEnabled and not sp.useNoisePruning and (
+        sp.chosenMoveSubtract > 0 or sp.chosenMovePrune > 0
+    ):
+        max_w = cw_used.max(-1)
+        subtract = jnp.minimum(sp.chosenMoveSubtract, max_w / 64.0)
+        prune = jnp.minimum(sp.chosenMovePrune, max_w / 64.0)
+        at_root = is_root[:, None]
+        w_adj0 = jnp.maximum(cw_used - subtract[:, None], 0.0)
+        w_adj0 = jnp.where(cw_used < prune[:, None], 0.0, w_adj0)
+        cw_used = jnp.where(at_root, w_adj0, cw_used)
+
+    total_w = cw_used.sum(-1)
 
     if sp.valueWeightExponent > 0:
         # downweightBadChildrenAndNormalizeWeight (searchupdatehelpers.cpp:368+)
         simple_value = jnp.where(
-            total_w > 0, (cu * cw).sum(-1) / jnp.maximum(total_w, _EPS), 0.0
+            total_w > 0, (cu * cw_used).sum(-1) / jnp.maximum(total_w, _EPS), 0.0
         )
-        precision = 1.5 * jnp.sqrt(jnp.maximum(cw, _EPS))
+        precision = 1.5 * jnp.sqrt(jnp.maximum(cw_used, _EPS))
         stdev = jnp.sqrt(1e-8 + 1.0 / precision)
         z = (cu - simple_value[:, None]) / stdev
         p = _norm_cdf(z) + 1e-4
-        w_adj = cw * jnp.power(p, sp.valueWeightExponent)
+        w_adj = cw_used * jnp.power(p, sp.valueWeightExponent)
         w_adj_sum = w_adj.sum(-1)
         factor = jnp.where(w_adj_sum > 0, total_w / jnp.maximum(w_adj_sum, _EPS), 0.0)
         w_adj = w_adj * factor[:, None]
     else:
-        w_adj = cw
+        w_adj = cw_used
 
     scaling = jnp.where(cw > 0, w_adj / jnp.maximum(cw, _EPS), 0.0)
 
     self_w = tree.self_weight[bidx, node]
-    self_u = tree.self_utility[bidx, node]
+    self_u_raw = tree.self_utility[bidx, node]
     self_wl_v = tree.self_wl[bidx, node]
     self_draw_v = tree.self_draw[bidx, node]
 
-    weight_sum = w_adj.sum(-1) + self_w
-    utility_avg = ((w_adj * cu).sum(-1) + self_w * self_u) / jnp.maximum(weight_sum, _EPS)
+    child_w_total = w_adj.sum(-1)
+    util_children_sum = (w_adj * cu).sum(-1)
+
+    # --- subtree value bias (searchupdatehelpers.cpp:254-285) ---
+    if sp.subtreeValueBiasFactor != 0.0:
+        key = tree.bias_key[bidx, node]
+        has_children = orig_total > 1e-10
+        util_children = util_children_sum / jnp.maximum(child_w_total, _EPS)
+        w_b = jnp.power(jnp.maximum(orig_total, 0.0), sp.subtreeValueBiasWeightExponent)
+        delta = (util_children - self_u_raw) * w_b
+        do_upd = mask & has_children
+        d_delta = jnp.where(do_upd, delta - tree.last_bias_delta[bidx, node], 0.0)
+        d_weight = jnp.where(do_upd, w_b - tree.last_bias_weight[bidx, node], 0.0)
+        bias_table = tree.bias_table.at[bidx, key, 0].add(d_delta)
+        bias_table = bias_table.at[bidx, key, 1].add(d_weight)
+        tree = tree._replace(
+            bias_table=bias_table,
+            last_bias_delta=tree.last_bias_delta.at[bidx, node].set(
+                jnp.where(do_upd, delta, tree.last_bias_delta[bidx, node])
+            ),
+            last_bias_weight=tree.last_bias_weight.at[bidx, node].set(
+                jnp.where(do_upd, w_b, tree.last_bias_weight[bidx, node])
+            ),
+        )
+        entry = bias_table[bidx, key]
+        bias = jnp.where(
+            entry[:, 1] > 0.001,
+            sp.subtreeValueBiasFactor * entry[:, 0] / jnp.maximum(entry[:, 1], 1e-9),
+            0.0,
+        )
+        self_u = self_u_raw + jnp.where(tree.is_terminal[bidx, node], 0.0, bias)
+    else:
+        self_u = self_u_raw
+
+    weight_sum = child_w_total + self_w
+    utility_avg = (util_children_sum + self_w * self_u) / jnp.maximum(weight_sum, _EPS)
     utility_sq_avg = ((w_adj * cusq).sum(-1) + self_w * self_u * self_u) / jnp.maximum(
         weight_sum, _EPS
     )
@@ -633,23 +900,16 @@ def run_search(
 
 
 def root_visit_counts(tree: Tree) -> jax.Array:
-    """[B, A] visit counts of root children (edge visits == child visits in
-    tree mode)."""
-    B, N, A = tree.children.shape
-    bidx = jnp.arange(B)
-    child = tree.children[:, 0, :]
-    has = child >= 0
-    v = tree.visits[bidx[:, None], jnp.maximum(child, 0)]
-    return jnp.where(has, v, 0)
+    """[B, A] root edge-visit counts — what getPlaySelectionValues uses
+    (with transpositions, edge visits are the root's own exploration)."""
+    return tree.edge_visits[:, 0, :]
 
 
 def root_child_weights(tree: Tree) -> jax.Array:
+    """[B, A] edge-scaled child weights at the root."""
     B = tree.children.shape[0]
     bidx = jnp.arange(B)
-    child = tree.children[:, 0, :]
-    has = child >= 0
-    w = tree.weight_sum[bidx[:, None], jnp.maximum(child, 0)]
-    return jnp.where(has, w, 0.0)
+    return _child_edge_stats(tree, bidx, jnp.zeros((B,), jnp.int32))["w"]
 
 
 def root_values(tree: Tree):
@@ -657,14 +917,12 @@ def root_values(tree: Tree):
     winloss from the root mover's perspective, plus per-child Q [B, A]."""
     B = tree.children.shape[0]
     bidx = jnp.arange(B)
-    child = tree.children[:, 0, :]
-    has = child >= 0
-    cu = jnp.where(has, -tree.utility_avg[bidx[:, None], jnp.maximum(child, 0)], 0.0)
+    cs = _child_edge_stats(tree, bidx, jnp.zeros((B,), jnp.int32))
     return {
         "root_utility": tree.utility_avg[:, 0],
         "root_wl": tree.wl_avg[:, 0],
         "root_draw": tree.draw_avg[:, 0],
-        "child_utility": cu,
+        "child_utility": cs["u"],
         "root_visits": tree.visits[:, 0],
     }
 
@@ -675,18 +933,17 @@ def _child_utility_stdev(tree: Tree):
     precision)."""
     B = tree.children.shape[0]
     bidx = jnp.arange(B)
-    child = tree.children[:, 0, :]
-    has = child >= 0
-    cidx = jnp.maximum(child, 0)
-    w = jnp.where(has, tree.weight_sum[bidx[:, None], cidx], 0.0)
-    u = -tree.utility_avg[bidx[:, None], cidx]
-    usq = tree.utility_sq_avg[bidx[:, None], cidx]
-    wsq = jnp.where(has, tree.weight_sq_sum[bidx[:, None], cidx], 0.0)
-    var = jnp.maximum(usq - u * u, 1e-8)
+    cs = _child_edge_stats(tree, bidx, jnp.zeros((B,), jnp.int32))
+    u = cs["u"]
+    var = jnp.maximum(cs["usq"] - u * u, 1e-8)
     # effective sample size from weight distribution
-    ess = jnp.where(wsq > 0, w * w / jnp.maximum(wsq, _EPS), 1.0)
+    ess = jnp.where(cs["wsq"] > 0, cs["w"] ** 2 / jnp.maximum(cs["wsq"], _EPS), 1.0)
     stdev = jnp.sqrt(var / jnp.maximum(ess, 1.0))
-    return jnp.where(has, u, -1e30), jnp.where(has, stdev, 1e30), w
+    return (
+        jnp.where(cs["live"], u, -1e30),
+        jnp.where(cs["live"], stdev, 1e30),
+        cs["w"],
+    )
 
 
 def select_moves(
@@ -701,7 +958,7 @@ def select_moves(
     actions."""
     B = tree.children.shape[0]
     visits = root_visit_counts(tree).astype(jnp.float32)  # [B, A]
-    legal = tree.prior[:, 0, :] >= 0
+    legal = tree.root_prior >= 0
 
     if sp.useLcbForSelection:
         u, stdev, w = _child_utility_stdev(tree)
@@ -739,7 +996,7 @@ def select_moves(
     # if no child has visits (can't happen after >=1 sim on a live game),
     # fall back to argmax prior
     any_v = (v > 0).any(-1)
-    fallback = jnp.argmax(jnp.where(legal, tree.prior[:, 0, :], -jnp.inf), -1)
+    fallback = jnp.argmax(jnp.where(legal, tree.root_prior, -jnp.inf), -1)
     sampled = jax.random.categorical(rng, logits, axis=-1)
     greedy = jnp.argmax(v, -1)
     # hard-argmax when temperature is effectively zero
@@ -749,20 +1006,20 @@ def select_moves(
 
 
 def policy_target(tree: Tree, sp: SearchParams) -> jax.Array:
-    """Training policy target from root visits with forced-playout pruning
-    (the reference subtracts forced playouts when extracting targets,
-    play.cpp:635 extractPolicyTarget + getPlaySelectionValues). v1: weights
-    proportional to child weight with the forced floor subtracted."""
-    w = root_child_weights(tree)
+    """Training policy target from root edge visits with forced-playout
+    pruning (extractPolicyTarget → getPlaySelectionValues, play.cpp:635:
+    the reference subtracts the forced-playout floor from every non-best
+    child and prunes tiny remainders)."""
+    v = root_visit_counts(tree).astype(jnp.float32)
     if sp.rootDesiredPerChildVisitsCoeff > 0.0:
-        prior = jnp.maximum(tree.prior[:, 0, :], 0.0)
-        total = w.sum(-1, keepdims=True)
+        prior = jnp.maximum(tree.root_prior, 0.0)
+        total = v.sum(-1, keepdims=True)
         forced = jnp.sqrt(sp.rootDesiredPerChildVisitsCoeff * prior * total)
         # keep the best child untouched; subtract forced playouts elsewhere
-        best = jnp.argmax(w, -1, keepdims=True)
-        is_best = jnp.arange(w.shape[-1])[None, :] == best
-        w = jnp.where(is_best, w, jnp.maximum(w - forced, 0.0))
-        # moves reduced to <1 weight are pruned entirely
-        w = jnp.where(is_best | (w >= 1.0), w, 0.0)
-    total = w.sum(-1, keepdims=True)
-    return jnp.where(total > 0, w / jnp.maximum(total, _EPS), 0.0)
+        best = jnp.argmax(v, -1, keepdims=True)
+        is_best = jnp.arange(v.shape[-1])[None, :] == best
+        v = jnp.where(is_best, v, jnp.maximum(v - forced, 0.0))
+        # moves reduced to <1 visit are pruned entirely
+        v = jnp.where(is_best | (v >= 1.0), v, 0.0)
+    total = v.sum(-1, keepdims=True)
+    return jnp.where(total > 0, v / jnp.maximum(total, _EPS), 0.0)

@@ -90,7 +90,8 @@ class SearchParams:
 
     @staticmethod
     def for_tests_v2() -> "SearchParams":
-        """Mirror of SearchParams::forTestsV2 (searchparams.cpp:115+)."""
+        """Mirror of SearchParams::forTestsV2 (searchparams.cpp:115-136):
+        graph search, noise pruning, uncertainty, subtree value bias on."""
         return SearchParams(
             cpuctExploration=0.9,
             cpuctExplorationLog=0.4,
@@ -100,24 +101,35 @@ class SearchParams:
             useLcbForSelection=True,
             lcbStdevs=5.0,
             minVisitPropForLCB=0.15,
+            useGraphSearch=True,
+            valueWeightExponent=0.25,
+            useNoisePruning=True,
+            useUncertainty=True,
+            subtreeValueBiasFactor=0.45,
+            subtreeValueBiasWeightExponent=0.85,
         )
 
     @staticmethod
     def for_selfplay() -> "SearchParams":
         """Selfplay operating point per the reference training config
-        (cpp/configs/training/selfplay1.cfg): root noise, forced playouts,
-        uncertainty + noise pruning + value-weighting active."""
+        (cpp/configs/training/selfplay1.cfg:165-185): root noise, forced
+        playouts, graph search, subtree value bias, uncertainty + noise
+        pruning + value-weighting active."""
         return SearchParams(
-            cpuctExploration=1.0,
-            cpuctExplorationLog=0.45,
+            cpuctExploration=1.1,
+            cpuctExplorationLog=0.0,
             rootNoiseEnabled=True,
             rootDesiredPerChildVisitsCoeff=2.0,
             rootPolicyTemperatureEarly=1.25,
             rootPolicyTemperature=1.1,
-            rootFpuReductionMax=0.1,
+            fpuReductionMax=0.2,
+            rootFpuReductionMax=0.0,
             useUncertainty=True,
             useNoisePruning=True,
-            valueWeightExponent=0.25,
+            valueWeightExponent=0.5,
+            useGraphSearch=True,
+            subtreeValueBiasFactor=0.30,
+            subtreeValueBiasWeightExponent=0.8,
             chosenMoveTemperature=0.1,
             chosenMoveTemperatureEarly=0.75,
             chosenMoveTemperatureHalflife=19.0,
