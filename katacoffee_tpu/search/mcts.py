@@ -290,6 +290,20 @@ def init_tree(
 ) -> Tree:
     """Allocate trees and evaluate the roots (beginSearch equivalent without
     tree reuse). `turn_number` [B] drives early-game temperature interp."""
+    k_eval, k_noise = jax.random.split(rng)
+    res = eval_fn(root_states, k_eval)
+    return _tree_from_root_eval(cfg, sp, root_states, res, max_nodes, k_noise, turn_number)
+
+
+def _tree_from_root_eval(
+    cfg: GameConfig,
+    sp: SearchParams,
+    root_states: GameState,
+    res: EvalResult,
+    max_nodes: int,
+    k_noise: jax.Array,
+    turn_number: jax.Array | None = None,
+) -> Tree:
     B = root_states.board.shape[0]
     N = max_nodes
     A = cfg.policy_size
@@ -299,8 +313,6 @@ def init_tree(
 
     states = jax.tree_util.tree_map(broadcast_slot, root_states)
 
-    k_eval, k_noise = jax.random.split(rng)
-    res = eval_fn(root_states, k_eval)
     legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(root_states)
 
     raw_prior = jnp.where(legal, res.policy, -1.0)
@@ -486,11 +498,17 @@ def _select_action(cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: 
 # ---------------------------------------------------------------------------
 
 
-def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_depth: int):
+def _simulate_once(
+    cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_depth: int,
+    active: jax.Array | None = None,
+):
+    """One playout per game. `active` [B] masks out games whose playout is a
+    no-op (used by visit-target searches over reused trees)."""
     B = tree.visits.shape[0]
     bidx = jnp.arange(B)
     A = tree.prior.shape[-1]
     k_leak, k_eval, rng = jax.random.split(rng, 3)
+    act_mask = jnp.ones((B,), bool) if active is None else active
 
     # ---------------- Descent ----------------
     # Walk down until a missing edge (expand), a terminal node (revisit), or
@@ -548,8 +566,9 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
     )
     action = act_path[bidx, leaf_depth]  # the stopping edge's action
 
-    leaf_terminal = tree.is_terminal[bidx, leaf]
-    expanding = ~leaf_terminal & ~caught
+    caught = caught & act_mask
+    leaf_terminal = tree.is_terminal[bidx, leaf] & act_mask
+    expanding = ~tree.is_terminal[bidx, leaf] & ~caught & act_mask
 
     # ---------------- Expansion ----------------
     # For expanding games: step the env, evaluate, then either link to a
@@ -694,7 +713,7 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
     # 0..leaf_depth-1 of (path[l], act_path[l]). A path never repeats an edge
     # (the game DAG is acyclic — stones only accumulate), so adds don't alias.
     lvl = jnp.arange(max_depth)[None, :]
-    on_edge = lvl < leaf_depth[:, None]
+    on_edge = (lvl < leaf_depth[:, None]) & act_mask[:, None]
     tree = tree._replace(
         edge_visits=tree.edge_visits.at[
             bidx[:, None], path[:, :max_depth], act_path[:, :max_depth]
@@ -712,7 +731,7 @@ def _simulate_once(cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_
     def backup_level(i, tr):
         l = max_depth - i
         n = path[:, l]
-        on_path = (l <= limit) & (n >= 0) & (l <= leaf_depth)
+        on_path = (l <= limit) & (n >= 0) & (l <= leaf_depth) & act_mask
         return _recompute_node(cfg, sp, tr, n, on_path)
 
     tree = jax.lax.fori_loop(0, max_depth + 1, backup_level, tree)
@@ -874,24 +893,202 @@ def run_search(
     num_sims: int,
     rng: jax.Array,
     max_nodes: int | None = None,
+    reuse_tree: Tree | None = None,
+    reuse_actions: jax.Array | None = None,
+    reuse_ok: jax.Array | None = None,
 ) -> Tree:
-    """runWholeSearch equivalent (search.cpp:361-509): num_sims playouts for
-    each of the B games, fully on device. jit this (closing over cfg/sp/
-    eval_fn/num_sims)."""
+    """runWholeSearch equivalent (search.cpp:361-509): playouts for each of
+    the B games, fully on device. jit this (closing over cfg/sp/eval_fn/
+    num_sims).
+
+    Without reuse: exactly num_sims playouts (root ends at num_sims+1
+    visits). With `reuse_tree` (the previous move's tree), `reuse_actions`
+    (the move each game played), and `reuse_ok` ([B] — False where the game
+    reset or reuse is otherwise invalid): the tree is re-rooted at the played
+    child (the reference's beginSearch tree reuse, search.cpp:262-331) and
+    playouts run only until every root reaches num_sims+1 total visits —
+    reused visits count toward the budget exactly as the reference's
+    maxVisits does, which is where tree reuse saves compute."""
     if max_nodes is None:
         max_nodes = num_sims + 2
     max_depth = cfg.area + 1
     k_init, k_sims = jax.random.split(rng)
-    tree = init_tree(cfg, sp, eval_fn, root_states, max_nodes, k_init)
 
-    def body(_, carry):
-        tree, rng = carry
+    if reuse_tree is None:
+        tree = init_tree(cfg, sp, eval_fn, root_states, max_nodes, k_init)
+
+        def body(_, carry):
+            tree, rng = carry
+            k, rng = jax.random.split(rng)
+            tree, _ = _simulate_once(cfg, sp, eval_fn, tree, k, max_depth)
+            return tree, rng
+
+        tree, _ = jax.lax.fori_loop(0, num_sims, body, (tree, k_sims))
+        return tree
+
+    tree = advance_root(
+        cfg, sp, eval_fn, reuse_tree, reuse_actions, root_states, k_init,
+        reuse_ok=reuse_ok,
+    )
+    target = num_sims + 1
+
+    def cond(carry):
+        tree, rng, it = carry
+        return (it < num_sims) & jnp.any(tree.visits[:, 0] < target)
+
+    def body(carry):
+        tree, rng, it = carry
         k, rng = jax.random.split(rng)
-        tree, _ = _simulate_once(cfg, sp, eval_fn, tree, k, max_depth)
-        return tree, rng
+        active = tree.visits[:, 0] < target
+        tree, _ = _simulate_once(cfg, sp, eval_fn, tree, k, max_depth, active=active)
+        return tree, rng, it + 1
 
-    tree, _ = jax.lax.fori_loop(0, num_sims, body, (tree, k_sims))
+    tree, _, _ = jax.lax.while_loop(cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32)))
     return tree
+
+
+def advance_root(
+    cfg: GameConfig,
+    sp: SearchParams,
+    eval_fn: EvalFn,
+    tree: Tree,
+    actions: jax.Array,
+    root_states: GameState,
+    rng: jax.Array,
+    reuse_ok: jax.Array | None = None,
+    turn_number: jax.Array | None = None,
+) -> Tree:
+    """Re-root each game's tree at the child reached by `actions` —
+    the reference's beginSearch tree reuse (search.cpp:262-331), as an array
+    compaction: nodes reachable from the new root (by first-parent chains;
+    under transpositions, nodes only reachable through non-first parents are
+    conservatively dropped) are packed to the front with the new root at slot
+    0; everything else is freed, subtracting freeProp of each freed node's
+    subtree-value-bias contribution (removeSubtreeValueBias,
+    search.cpp:773-786). Games where the played child does not exist, or
+    where `reuse_ok` is False (e.g. the episode auto-reset), get a fresh
+    root from a batched evaluation of `root_states`. Root priors are
+    re-tempered/re-noised in both cases, as beginSearch does."""
+    B, N = tree.visits.shape
+    bidx = jnp.arange(B)
+    nidx = jnp.arange(N)
+
+    k_eval, k_noise1, k_noise2 = jax.random.split(rng, 3)
+    res = eval_fn(root_states, k_eval)
+    fresh = _tree_from_root_eval(
+        cfg, sp, root_states, res, N, k_noise1, turn_number
+    )
+
+    new_root = tree.children[bidx, 0, actions]  # [B]
+    has = new_root >= 0
+    if reuse_ok is not None:
+        has = has & reuse_ok
+    new_root_safe = jnp.maximum(new_root, 0)
+
+    # reachability from the new root via parent-pointer doubling
+    valid_slot = nidx[None, :] < tree.node_count[:, None]
+    reach = nidx[None, :] == new_root_safe[:, None]
+    ptr = tree.parent
+    steps = max(1, (N - 1).bit_length())
+    for _ in range(steps):
+        ptr_safe = jnp.maximum(ptr, 0)
+        up = jnp.where(ptr >= 0, reach[bidx[:, None], ptr_safe], False)
+        reach = reach | up
+        ptr = jnp.where(ptr >= 0, tree.parent[bidx[:, None], ptr_safe], -1)
+    kept = reach & valid_slot
+
+    # stable permutation: new root first, then other kept nodes, then free
+    key = jnp.where(nidx[None, :] == new_root_safe[:, None], 0, jnp.where(kept, 1, 2))
+    order = jnp.argsort(key, axis=1, stable=True)  # [B, N] old indices
+    inv = jnp.zeros((B, N), jnp.int32).at[bidx[:, None], order].set(
+        jnp.broadcast_to(nidx[None, :], (B, N))
+    )
+    n_kept = kept.sum(axis=1)
+    live = nidx[None, :] < n_kept[:, None]  # mask in NEW index space
+
+    def g2(arr):  # [B, N] gather
+        return arr[bidx[:, None], order]
+
+    def g3(arr):  # [B, N, ...] gather
+        return arr[bidx[:, None], order]
+
+    # children: remap through the keep set (dropped targets become -1)
+    ch_g = g3(tree.children)
+    ch_vals = jnp.maximum(ch_g, 0)
+    child_kept = (ch_g >= 0) & kept[bidx[:, None, None], ch_vals]
+    ch_new = jnp.where(child_kept & live[:, :, None], inv[bidx[:, None, None], ch_vals], -1)
+    ev_new = jnp.where(ch_new >= 0, g3(tree.edge_visits), 0)
+
+    par_g = g2(tree.parent)
+    par_vals = jnp.maximum(par_g, 0)
+    par_kept = (par_g >= 0) & kept[bidx[:, None], par_vals]
+    par_new = jnp.where(par_kept & live, inv[bidx[:, None], par_vals], -1)
+    par_new = par_new.at[:, 0].set(-1)  # the new root has no parent
+
+    use_bias = sp.subtreeValueBiasFactor != 0.0
+    if use_bias:
+        # freed nodes give back freeProp of their last table contribution
+        dropped = valid_slot & ~kept
+        fp = sp.subtreeValueBiasFreeProp
+        table = tree.bias_table.at[bidx[:, None], tree.bias_key].add(
+            jnp.stack(
+                [
+                    jnp.where(dropped, -fp * tree.last_bias_delta, 0.0),
+                    jnp.where(dropped, -fp * tree.last_bias_weight, 0.0),
+                ],
+                axis=-1,
+            )
+        )
+        last_bd = jnp.where(live, g2(tree.last_bias_delta), 0.0)
+        last_bw = jnp.where(live, g2(tree.last_bias_weight), 0.0)
+        bias_key = g2(tree.bias_key)
+    else:
+        table = tree.bias_table
+        last_bd = tree.last_bias_delta
+        last_bw = tree.last_bias_weight
+        bias_key = tree.bias_key
+
+    # fresh root prior for the reused root (beginSearch re-noises)
+    reused_raw = g3(tree.prior)[:, 0]
+    legal = reused_raw >= 0
+    reused_root_prior = _make_root_prior(
+        cfg, sp, jnp.maximum(reused_raw, 0.0), legal,
+        root_states, k_noise2, turn_number,
+    )
+
+    reused = Tree(
+        states=jax.tree_util.tree_map(lambda x: x[bidx[:, None], order], tree.states),
+        visits=jnp.where(live, g2(tree.visits), 0),
+        weight_sum=jnp.where(live, g2(tree.weight_sum), 0.0),
+        weight_sq_sum=jnp.where(live, g2(tree.weight_sq_sum), 0.0),
+        utility_avg=jnp.where(live, g2(tree.utility_avg), 0.0),
+        utility_sq_avg=jnp.where(live, g2(tree.utility_sq_avg), 0.0),
+        wl_avg=jnp.where(live, g2(tree.wl_avg), 0.0),
+        draw_avg=jnp.where(live, g2(tree.draw_avg), 0.0),
+        self_utility=jnp.where(live, g2(tree.self_utility), 0.0),
+        self_wl=jnp.where(live, g2(tree.self_wl), 0.0),
+        self_draw=jnp.where(live, g2(tree.self_draw), 0.0),
+        self_weight=jnp.where(live, g2(tree.self_weight), 0.0),
+        prior=g3(tree.prior),
+        root_prior=reused_root_prior,
+        children=ch_new,
+        edge_visits=ev_new,
+        parent=par_new,
+        parent_action=g2(tree.parent_action),
+        is_terminal=jnp.where(live, g2(tree.is_terminal), False),
+        node_count=n_kept,
+        sit_hash=g3(tree.sit_hash),
+        bias_key=bias_key,
+        last_bias_delta=last_bd,
+        last_bias_weight=last_bw,
+        bias_table=table,
+    )
+
+    def merge(r, f):
+        m = jnp.reshape(has, (B,) + (1,) * (r.ndim - 1))
+        return jnp.where(m, r, f)
+
+    return jax.tree_util.tree_map(merge, reused, fresh)
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,12 @@ class SelfplaySettings:
     # TD lambdas, from the reference's boardArea-scaled formulas
     # (trainingwrite.h:141-146): lambda = 1 - 1/(1 + boardArea * c)
     td_coeffs: tuple = (0.176, 0.056, 0.016)
+    # Tree reuse between moves (beginSearch reuse, search.cpp:262-331):
+    # each move's search starts from the played child's subtree and only
+    # plays out the visit deficit — reused visits count toward num_sims
+    # like the reference's maxVisits. The search loop becomes a while_loop
+    # gated on the slowest game in the batch.
+    tree_reuse: bool = True
 
 
 class Trajectory(NamedTuple):
@@ -101,11 +107,15 @@ def run_selfplay_segment(
     """Advance B games `num_moves` plies. Returns (new_states, new_episode_id,
     Trajectory). jit with static cfg/sp/settings/eval_fn/num_moves."""
 
+    B = states.board.shape[0]
+    max_nodes = settings.max_nodes or (settings.num_sims + 2)
+
     def one_move(carry, key):
-        st, ep = carry
+        st, ep, prev_tree, prev_action, reuse_ok = carry
         k_search, k_move = jax.random.split(key)
         tree = mcts.run_search(
-            cfg, sp, eval_fn, st, settings.num_sims, k_search, settings.max_nodes
+            cfg, sp, eval_fn, st, settings.num_sims, k_search, max_nodes,
+            reuse_tree=prev_tree, reuse_actions=prev_action, reuse_ok=reuse_ok,
         )
         pt = mcts.policy_target(tree, sp)
         action = mcts.select_moves(cfg, sp, tree, k_move)
@@ -133,10 +143,30 @@ def run_selfplay_segment(
             fresh,
         )
         new_ep = ep + nxt.done.astype(jnp.int32)
-        return (new_st, new_ep), rec
+        if settings.tree_reuse:
+            # next move reuses the played child's subtree unless the episode
+            # just reset (the child is the done-state, not the fresh board)
+            new_carry = (new_st, new_ep, tree, action, ~nxt.done)
+        else:
+            new_carry = (new_st, new_ep, prev_tree, prev_action, reuse_ok)
+        return new_carry, rec
 
+    k_init, rng = jax.random.split(rng)
+    if settings.tree_reuse:
+        # structural placeholder for the scan carry; reuse_ok=False makes the
+        # first move ignore its contents and do a fresh root eval
+        tree0 = mcts.init_tree(cfg, sp, eval_fn, states, max_nodes, k_init)
+    else:
+        tree0 = None
+    carry0 = (
+        states,
+        episode_id,
+        tree0,
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), bool),
+    )
     keys = jax.random.split(rng, num_moves)
-    (new_states, new_ep), recs = jax.lax.scan(one_move, (states, episode_id), keys)
+    (new_states, new_ep, *_), recs = jax.lax.scan(one_move, carry0, keys)
     traj = Trajectory(**recs)
     return new_states, new_ep, traj
 
