@@ -25,6 +25,7 @@ Training pipeline (shared -base-dir layout):
   gatekeeper   candidate-vs-champion gating daemon
   loop         full synchronous selfplay->shuffle->train->gate loop
   match        round-robin matches between exported models
+  summarize_sgfs  tally SGF results and fit MLE Elos
 
 Other:
   version      print version
@@ -135,6 +136,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "evalsgf":
         from katacoffee_tpu.command.evalsgf import main as m
+
+        m(args)
+        return 0
+    if cmd == "summarize_sgfs":
+        from katacoffee_tpu.command.summarize_sgfs import main as m
 
         m(args)
         return 0
