@@ -159,6 +159,79 @@ def init_state(cfg: GameConfig, to_move: int | jax.Array = P_BLACK) -> GameState
 
 
 @functools.lru_cache(maxsize=None)
+def _line_tables_np(x_size: int, y_size: int, win_len: int):
+    """Precomputed constants that turn the rules' line scans into matmuls /
+    table lookups (MXU-friendly; the scans the reference does cell-by-cell in
+    C, board.cpp:185-227,315-383, become [B,area]@[area,·] contractions under
+    vmap):
+      * inc [4, area, area]: inc[d,i,j]=1 iff cell j lies on the maximal line
+        through cell i along direction d (including i itself);
+      * lastline [area+1, 5, area]: allowed-cell mask given (last_spot,
+        last_dir); row area = "no last move" (all True), dir 4 likewise;
+      * win_windows [nw, area]: all length-win_len straight windows;
+      * exact window sets per L in {win_len-1, win_len-2, win_len-3}:
+        (win [nw_L, area], boundary [nw_L, area]) — a window is an exact
+        same-color run iff all its cells are the color and no boundary cell
+        is (off-board boundaries are absent, i.e. walls end runs).
+    """
+    area = x_size * y_size
+    ys, xs = np.mgrid[0:y_size, 0:x_size]
+
+    def on(x, y):
+        return 0 <= x < x_size and 0 <= y < y_size
+
+    inc = np.zeros((4, area, area), np.float32)
+    for d, (dy, dx) in enumerate(DIR_OFFSETS):
+        for i in range(area):
+            ix, iy = i % x_size, i // x_size
+            inc[d, i, i] = 1.0
+            for sign in (1, -1):
+                cx, cy = ix + sign * dx, iy + sign * dy
+                while on(cx, cy):
+                    inc[d, i, cy * x_size + cx] = 1.0
+                    cx += sign * dx
+                    cy += sign * dy
+
+    lastline = np.zeros((area + 1, 5, area), bool)
+    lastline[area, :, :] = True
+    lastline[:, 4, :] = True
+    for s in range(area):
+        lx, ly = s % x_size, s // x_size
+        dxg = xs - lx
+        dyg = ys - ly
+        lastline[s, 0] = ((dxg == 0) & (dyg != 0)).reshape(-1)
+        lastline[s, 1] = ((dyg == 0) & (dxg != 0)).reshape(-1)
+        lastline[s, 2] = (dxg == dyg).reshape(-1)
+        lastline[s, 3] = (dxg == -dyg).reshape(-1)
+
+    def windows(L):
+        """(window [nw, area], boundary [nw, area]) over all directions."""
+        wins, bounds = [], []
+        for d, (dy, dx) in enumerate(DIR_OFFSETS):
+            for y0 in range(y_size):
+                for x0 in range(x_size):
+                    cells = [(x0 + k * dx, y0 + k * dy) for k in range(L)]
+                    if not all(on(x, y) for x, y in cells):
+                        continue
+                    w = np.zeros((area,), np.float32)
+                    for x, y in cells:
+                        w[y * x_size + x] = 1.0
+                    b = np.zeros((area,), np.float32)
+                    for bx, by in ((x0 - dx, y0 - dy), (x0 + L * dx, y0 + L * dy)):
+                        if on(bx, by):
+                            b[by * x_size + bx] = 1.0
+                    wins.append(w)
+                    bounds.append(b)
+        return np.stack(wins), np.stack(bounds)
+
+    win_windows, _ = windows(win_len)
+    exact = {}
+    for L in range(max(win_len - 3, 1), win_len):
+        exact[L] = windows(L)
+    return inc, lastline, win_windows, exact
+
+
+@functools.lru_cache(maxsize=None)
 def _line_ids_np(x_size: int, y_size: int):
     """For each direction, an int map [Y, X] giving the id of the maximal
     board line through each cell in that direction, plus the number of lines.
@@ -191,40 +264,25 @@ def line_empty_counts(cfg: GameConfig, board: jax.Array) -> jax.Array:
     """[4, Y, X] int32: for each direction d and cell c, the number of empty
     cells on the maximal line through c along d (including c itself if empty).
     Walls bound lines; stones do NOT break them (reference isLegal scans the
-    full line past stones, board.cpp:213-226)."""
-    ids, counts = _line_ids_np(cfg.x_size, cfg.y_size)
-    empty = (board == C_EMPTY).astype(jnp.int32)
-    outs = []
-    for d in range(NUM_DIRECTIONS):
-        idmap = jnp.asarray(ids[d])
-        per_line = jnp.zeros((counts[d],), jnp.int32).at[idmap.reshape(-1)].add(
-            empty.reshape(-1)
-        )
-        outs.append(per_line[idmap])
-    return jnp.stack(outs)
+    full line past stones, board.cpp:213-226). Computed as one incidence-
+    matrix contraction so the MXU does the scan (vmap batches it)."""
+    inc, _, _, _ = _line_tables_np(cfg.x_size, cfg.y_size, cfg.win_len)
+    inc = jnp.asarray(inc.reshape(4 * cfg.area, cfg.area))
+    empty = (board == C_EMPTY).astype(jnp.float32).reshape(-1)
+    counts = inc @ empty  # [4*area]
+    return (counts + 0.5).astype(jnp.int32).reshape(4, cfg.y_size, cfg.x_size)
 
 
 def _on_last_move_line(cfg: GameConfig, last_spot: jax.Array, last_dir: jax.Array) -> jax.Array:
     """[Y, X] bool: constraint (b) — cells on the line through the previous
-    move's spot along its direction. All-true when last_dir == D_NONE.
-    The previous spot itself is excluded by the same-cell conditions in the
-    reference (dy!=0 / dx!=0), but it is occupied so the empty check already
-    excludes it; we still match the reference exactly by excluding it."""
-    ys, xs = jnp.mgrid[0 : cfg.y_size, 0 : cfg.x_size]
-    last_x = last_spot % cfg.x_size
-    last_y = last_spot // cfg.x_size
-    dx = xs - last_x
-    dy = ys - last_y
-    masks = jnp.stack(
-        [
-            (dx == 0) & (dy != 0),  # D_NORTH (board.cpp:194-197)
-            (dy == 0) & (dx != 0),  # D_WEST (board.cpp:198-201)
-            dx == dy,  # D_NORTHWEST (board.cpp:202-205)
-            dx == -dy,  # D_NORTHEAST (board.cpp:206-209)
-            jnp.ones_like(dx, dtype=bool),  # D_NONE: unconstrained
-        ]
-    )
-    return masks[last_dir]
+    move's spot along its direction (precomputed table lookup; all-true when
+    last_dir == D_NONE / no move yet). The previous spot itself is excluded
+    by the reference's dy!=0 / dx!=0 same-cell conditions; occupied anyway,
+    but we match exactly (board.cpp:194-209)."""
+    _, lastline, _, _ = _line_tables_np(cfg.x_size, cfg.y_size, cfg.win_len)
+    tab = jnp.asarray(lastline)
+    spot_idx = jnp.where(last_spot < 0, cfg.area, last_spot)
+    return tab[spot_idx, last_dir].reshape(cfg.y_size, cfg.x_size)
 
 
 def legal_mask(cfg: GameConfig, state: GameState) -> jax.Array:
@@ -290,9 +348,35 @@ def per_cell_max_run(cfg: GameConfig, board: jax.Array) -> jax.Array:
 
 def _wins_at(cfg: GameConfig, board: jax.Array, spot: jax.Array) -> jax.Array:
     """bool: does the stone at flat `spot` sit in a run of >= win_len
-    (reference checkGameEnd, board.cpp:376-383)."""
-    runs = run_lengths(cfg, board).max(axis=0).reshape(-1)
-    return runs[spot] >= cfg.win_len
+    (reference checkGameEnd, board.cpp:376-383). A run of >= win_len exists
+    through `spot` iff some length-win_len window containing `spot` is fully
+    the spot's color — one windows-matrix contraction."""
+    _, _, win_windows, _ = _line_tables_np(cfg.x_size, cfg.y_size, cfg.win_len)
+    W = jnp.asarray(win_windows)  # [nw, area]
+    flat = board.reshape(-1)
+    color = flat[spot]
+    is_c = (flat == color).astype(jnp.float32)
+    full = (W @ is_c) >= (cfg.win_len - 0.5)  # [nw]
+    contains = W[:, spot] > 0.5
+    return jnp.any(full & contains) & (color != C_EMPTY)
+
+
+def exact_run_mask(cfg: GameConfig, board: jax.Array, length: int) -> jax.Array:
+    """[Y, X] bool: stones lying in a maximal same-color run of exactly
+    `length` along some direction (the reference's exact-length line feature
+    channels, nninputs.cpp:650-653, via precomputed window matrices)."""
+    _, _, _, exact = _line_tables_np(cfg.x_size, cfg.y_size, cfg.win_len)
+    if length not in exact:
+        return jnp.zeros((cfg.y_size, cfg.x_size), bool)
+    W, Bd = (jnp.asarray(a) for a in exact[length])
+    flat = board.reshape(-1)
+    marked = jnp.zeros((cfg.area,), bool)
+    for color in (1, 2):
+        is_c = (flat == color).astype(jnp.float32)
+        full = ((W @ is_c) >= (length - 0.5)) & ((Bd @ is_c) < 0.5)  # [nw]
+        member = (full.astype(jnp.float32) @ W) > 0.5  # [area]
+        marked = marked | (member & (flat == color))
+    return marked.reshape(cfg.y_size, cfg.x_size)
 
 
 # ---------------------------------------------------------------------------

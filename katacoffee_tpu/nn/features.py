@@ -36,8 +36,8 @@ from katacoffee_tpu.game.board import (
     GameConfig,
     GameState,
     NUM_DIRECTIONS,
+    exact_run_mask,
     legal_mask,
-    run_lengths,
 )
 
 NUM_FEATURES_SPATIAL = 18
@@ -82,13 +82,13 @@ def extract_features(cfg: GameConfig, state: GameState):
     legal = legal_mask(cfg, state).astype(jnp.float32)
 
     # ch15-17: exact-length runs of stones, lengths win_len-1 .. win_len-3
-    runs = run_lengths(cfg, board)  # [4, Y, X]
-    occupied = board != C_EMPTY
-    lines = []
-    for L in range(cfg.win_len - 1, cfg.win_len - 4, -1):
-        marked = ((runs == L).any(axis=0)) & occupied & (L >= 1)
-        lines.append(marked.astype(jnp.float32))
-    lines = jnp.stack(lines)
+    # (window-matrix contractions, board.exact_run_mask)
+    lines = jnp.stack(
+        [
+            exact_run_mask(cfg, board, L).astype(jnp.float32)
+            for L in range(cfg.win_len - 1, cfg.win_len - 4, -1)
+        ]
+    )
 
     spatial = jnp.concatenate(
         [onboard[None], own[None], other[None], last, hist, legal, lines], axis=0

@@ -9,6 +9,18 @@ full [B, features] batch by construction. The reference's thread machinery
 equivalent here because its job (keeping a GPU fed from CPU threads) does not
 exist: parallelism is the batch axis (SURVEY.md §2.8 P1-P3).
 
+TPU layout notes (profiled on real hardware):
+  * Per-node statistics are PACKED into one [B, N, 8] array (`Tree.stats`):
+    a node's children stats are fetched with a single one-hot einsum
+    (`[B,A,N] @ [B,N,8]`) that the MXU executes in ~65µs — versus ~360µs for
+    EACH [B,A]-indexed gather, of which the unpacked layout needed seven.
+    Same for writes: one row scatter instead of seven. Convenience
+    properties (.visits, .utility_avg, …) keep the external API unchanged.
+  * Rules/feature line scans are precomputed incidence-matrix contractions
+    (game/board.py _line_tables_np) so they also ride the MXU.
+  * Backup loop bounds are dynamic in the batch's deepest leaf — typical
+    depths are ~2-6, far below the worst-case board-area unroll.
+
 KataGo semantics implemented (file:line cite → here):
   * PUCT selection: cpuct = c + c_log·log((W+base)/base); exploreScaling =
     cpuct·sqrt(W+0.01)·parentUtilityStdevFactor; selection = scaling·P/(1+w_c)
@@ -26,6 +38,9 @@ KataGo semantics implemented (file:line cite → here):
     (searchnode.h:59-64 childWeight); edge-visit catch-up claims an edge
     visit without descending when edge < child visits, with an optional
     leak-through probability (search.cpp:1169-1206 maybeCatchUpEdgeVisits).
+  * Tree reuse between moves (advance_root): the reference's beginSearch
+    reuse (search.cpp:262-331) as an array compaction; reused visits count
+    toward the visit budget like the reference's maxVisits.
   * Value aggregation: each backup recomputes every path node's stats from
     its child edges with value-based downweighting — z-scored child utilities
     through a normal CDF raised to valueWeightExponent
@@ -36,7 +51,8 @@ KataGo semantics implemented (file:line cite → here):
     Deviation: the reference's scan is sequential in policy order, using
     already-pruned weights of earlier children; we vectorize with prefix sums
     over *unpruned* weights — identical unless an earlier sibling was itself
-    pruned, a second-order effect.
+    pruned, a second-order effect. The policy ordering is computed once at
+    node creation (Tree.policy_rank), not re-sorted per backup.
   * Subtree value bias (subtreeValueBiasFactor): per-game table keyed by
     (mover, previous move, move before that) accumulating
     (childrenUtility − nnUtility)·weight deltas differentially; a fraction of
@@ -75,6 +91,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from katacoffee_tpu.game.board import (
     GameConfig,
@@ -93,22 +110,22 @@ _EPS = 1e-8
 # collisions blur the bias, which is a heuristic — acceptable and documented).
 BIAS_SLOTS = 16384
 
+# Channel layout of Tree.stats [B, N, NUM_STATS] (NodeStatsAtomic equivalent,
+# searchnode.h:16-36, minus Go-only score fields).
+S_VISITS, S_W, S_WSQ, S_U, S_USQ, S_WL, S_DRAW, S_PAD = range(8)
+NUM_STATS = 8
+# Channel layout of Tree.self_stats [B, N, 4] (the node's own NN/terminal
+# evaluation; utility stored UN-biased — bias applies at use).
+F_U, F_WL, F_DRAW, F_W = range(4)
+NUM_SELF = 4
+
 
 class Tree(NamedTuple):
     """Array-of-trees state. Leading dims: [B, N] (games × node slots)."""
 
     states: GameState  # pytree, leaves [B, N, ...]
-    visits: jax.Array  # [B, N] int32
-    weight_sum: jax.Array  # [B, N] f32 — children weight + self weight
-    weight_sq_sum: jax.Array  # [B, N] f32
-    utility_avg: jax.Array  # [B, N] f32, node-mover perspective
-    utility_sq_avg: jax.Array  # [B, N] f32
-    wl_avg: jax.Array  # [B, N] f32 win-minus-loss prob avg (mover persp.)
-    draw_avg: jax.Array  # [B, N] f32 draw probability avg (side-agnostic)
-    self_utility: jax.Array  # [B, N] f32 raw NN/terminal utility (un-biased)
-    self_wl: jax.Array  # [B, N] f32 raw NN/terminal winloss
-    self_draw: jax.Array  # [B, N] f32 raw NN/terminal draw prob
-    self_weight: jax.Array  # [B, N] f32 uncertainty-derived eval weight
+    stats: jax.Array  # [B, N, 8] f32, S_* channels (negamax perspective)
+    self_stats: jax.Array  # [B, N, 4] f32, F_* channels
     prior: jax.Array  # [B, N, A] f32 raw policy; illegal moves = -1
     root_prior: jax.Array  # [B, A] f32 root policy after temp/noise; -1 illegal
     children: jax.Array  # [B, N, A] int32 child index or -1
@@ -118,10 +135,57 @@ class Tree(NamedTuple):
     is_terminal: jax.Array  # [B, N] bool
     node_count: jax.Array  # [B] int32
     sit_hash: jax.Array  # [B, N, 2] uint32 situation hash (transposition key)
-    bias_key: jax.Array  # [B, N] int32 (or [B,1] dummy when bias off)
+    policy_rank: jax.Array  # [B, N, 2, A] int32: [.,.,0]=actions by descending
+    #   raw policy, [.,.,1]=inverse permutation ([B,1,2,1] dummy when off)
+    bias_key: jax.Array  # [B, N] int32
     last_bias_delta: jax.Array  # [B, N] f32 node's last table contribution
     last_bias_weight: jax.Array  # [B, N] f32
     bias_table: jax.Array  # [B, K, 2] f32 (deltaUtilitySum, weightSum)
+
+    # -- unpacked views (convenience; do not use in per-sim hot code) --
+    @property
+    def visits(self) -> jax.Array:
+        return (self.stats[..., S_VISITS] + 0.5).astype(jnp.int32)
+
+    @property
+    def weight_sum(self) -> jax.Array:
+        return self.stats[..., S_W]
+
+    @property
+    def weight_sq_sum(self) -> jax.Array:
+        return self.stats[..., S_WSQ]
+
+    @property
+    def utility_avg(self) -> jax.Array:
+        return self.stats[..., S_U]
+
+    @property
+    def utility_sq_avg(self) -> jax.Array:
+        return self.stats[..., S_USQ]
+
+    @property
+    def wl_avg(self) -> jax.Array:
+        return self.stats[..., S_WL]
+
+    @property
+    def draw_avg(self) -> jax.Array:
+        return self.stats[..., S_DRAW]
+
+    @property
+    def self_utility(self) -> jax.Array:
+        return self.self_stats[..., F_U]
+
+    @property
+    def self_wl(self) -> jax.Array:
+        return self.self_stats[..., F_WL]
+
+    @property
+    def self_draw(self) -> jax.Array:
+        return self.self_stats[..., F_DRAW]
+
+    @property
+    def self_weight(self) -> jax.Array:
+        return self.self_stats[..., F_W]
 
 
 class EvalResult(NamedTuple):
@@ -219,6 +283,19 @@ def _terminal_utility(states: GameState) -> jax.Array:
     return jnp.where(states.winner == 0, 0.0, -1.0)
 
 
+def _stats_row(visits, w, wsq, u, usq, wl, draw):
+    return jnp.stack(
+        [visits, w, wsq, u, usq, wl, draw, jnp.zeros_like(w)], axis=-1
+    )
+
+
+def _rank_pair(raw_prior: jax.Array) -> jax.Array:
+    """[B, 2, A]: policy-descending order and its inverse permutation."""
+    order = jnp.argsort(-jnp.maximum(raw_prior, 1e-30), axis=-1).astype(jnp.int32)
+    inv = jnp.argsort(order, axis=-1).astype(jnp.int32)
+    return jnp.stack([order, inv], axis=-2)
+
+
 def _bias_keys(cfg: GameConfig, states: GameState) -> jax.Array:
     """[B] int32 subtree-value-bias table slot from (mover of last move,
     last move, move before that) — the array analogue of
@@ -232,11 +309,9 @@ def _bias_keys(cfg: GameConfig, states: GameState) -> jax.Array:
     d1 = states.recent_dirs[..., 1]
     a1 = jnp.where(s1 >= 0, jnp.minimum(d1, 3) * area + s1, sentinel)
     mover = (3 - states.to_move).astype(jnp.int32) - 1  # 0/1
-    import numpy as _np
-
     k = (a0 * (sentinel + 1) + a1) * 2 + mover
-    k = (k.astype(jnp.uint32) * _np.uint32(2654435761)) >> _np.uint32(18)
-    return (k % _np.uint32(BIAS_SLOTS)).astype(jnp.int32)
+    k = (k.astype(jnp.uint32) * np.uint32(2654435761)) >> np.uint32(18)
+    return (k % np.uint32(BIAS_SLOTS)).astype(jnp.int32)
 
 
 def _bias_avg(sp: SearchParams, tree: Tree, bidx, key: jax.Array) -> jax.Array:
@@ -253,20 +328,26 @@ def _bias_avg(sp: SearchParams, tree: Tree, bidx, key: jax.Array) -> jax.Array:
 def _child_edge_stats(tree: Tree, bidx, node):
     """Per-action child stats with edge-scaled weights (NodeStats::childWeight,
     searchnode.h:59-64): w = childWeightSum * edgeVisits / max(childVisits,1).
-    Returns dict of [B, A] arrays; missing edges have weight 0."""
+
+    One one-hot einsum fetches all stat channels of all children at once
+    (the profiled fast path — see module docstring). Returns dict of [B, A]
+    arrays; missing edges have weight 0."""
+    N = tree.stats.shape[1]
     child = tree.children[bidx, node]  # [B, A]
     has = child >= 0
     cidx = jnp.maximum(child, 0)
+    onehot = jax.nn.one_hot(cidx, N, dtype=jnp.float32) * has[..., None]
+    cs = jnp.einsum("ban,bns->bas", onehot, tree.stats)  # [B, A, 8]
     evis = tree.edge_visits[bidx, node].astype(jnp.float32)
-    cvis = tree.visits[bidx[:, None], cidx].astype(jnp.float32)
+    cvis = cs[..., S_VISITS]
     scale = evis / jnp.maximum(cvis, 1.0)
     live = has & (evis > 0)
-    w = jnp.where(live, tree.weight_sum[bidx[:, None], cidx] * scale, 0.0)
-    wsq = jnp.where(live, tree.weight_sq_sum[bidx[:, None], cidx] * scale, 0.0)
-    u = jnp.where(live, -tree.utility_avg[bidx[:, None], cidx], 0.0)  # parent persp
-    usq = jnp.where(live, tree.utility_sq_avg[bidx[:, None], cidx], 0.0)
-    wl = jnp.where(live, -tree.wl_avg[bidx[:, None], cidx], 0.0)
-    draw = jnp.where(live, tree.draw_avg[bidx[:, None], cidx], 0.0)
+    w = jnp.where(live, cs[..., S_W] * scale, 0.0)
+    wsq = jnp.where(live, cs[..., S_WSQ] * scale, 0.0)
+    u = jnp.where(live, -cs[..., S_U], 0.0)  # parent perspective
+    usq = jnp.where(live, cs[..., S_USQ], 0.0)
+    wl = jnp.where(live, -cs[..., S_WL], 0.0)
+    draw = jnp.where(live, cs[..., S_DRAW], 0.0)
     return dict(
         child=child, has=has, cidx=cidx, live=live,
         w=w, wsq=wsq, u=u, usq=usq, wl=wl, draw=draw,
@@ -327,33 +408,27 @@ def _tree_from_root_eval(
     d0 = jnp.where(root_term, (root_states.winner == 0).astype(jnp.float32), res.draw)
     w0 = jnp.where(root_term, 1.0, w0)
 
-    def slot0(val, fill):
-        arr = jnp.full((B, N), fill, dtype=val.dtype)
-        return arr.at[:, 0].set(val)
+    one = jnp.ones((B,), jnp.float32)
+    stats0 = _stats_row(one, w0, w0 * w0, u0, u0 * u0, wl0, d0)  # [B, 8]
+    selfs0 = jnp.stack([u0, wl0, d0, w0], axis=-1)
 
     root_hash = jax.vmap(functools.partial(situation_hash, cfg))(root_states)
 
     use_bias = sp.subtreeValueBiasFactor != 0.0
     K = BIAS_SLOTS if use_bias else 1
-    bias_key0 = (
-        slot0(_bias_keys(cfg, root_states), 0)
-        if use_bias
-        else jnp.zeros((B, N), jnp.int32)
-    )
+    bias_key0 = jnp.zeros((B, N), jnp.int32)
+    if use_bias:
+        bias_key0 = bias_key0.at[:, 0].set(_bias_keys(cfg, root_states))
+    if sp.useNoisePruning:
+        rank0 = _rank_pair(raw_prior)
+        policy_rank = jnp.zeros((B, N, 2, A), jnp.int32).at[:, 0].set(rank0)
+    else:
+        policy_rank = jnp.zeros((B, 1, 2, 1), jnp.int32)
 
-    tree = Tree(
+    return Tree(
         states=states,
-        visits=slot0(jnp.ones((B,), jnp.int32), 0),
-        weight_sum=slot0(w0, 0.0),
-        weight_sq_sum=slot0(w0 * w0, 0.0),
-        utility_avg=slot0(u0, 0.0),
-        utility_sq_avg=slot0(u0 * u0, 0.0),
-        wl_avg=slot0(wl0, 0.0),
-        draw_avg=slot0(d0, 0.0),
-        self_utility=slot0(u0, 0.0),
-        self_wl=slot0(wl0, 0.0),
-        self_draw=slot0(d0, 0.0),
-        self_weight=slot0(w0, 0.0),
+        stats=jnp.zeros((B, N, NUM_STATS), jnp.float32).at[:, 0].set(stats0),
+        self_stats=jnp.zeros((B, N, NUM_SELF), jnp.float32).at[:, 0].set(selfs0),
         prior=jnp.zeros((B, N, A), jnp.float32).at[:, 0].set(raw_prior),
         root_prior=root_prior,
         children=jnp.full((B, N, A), -1, jnp.int32),
@@ -363,12 +438,12 @@ def _tree_from_root_eval(
         is_terminal=jnp.zeros((B, N), bool).at[:, 0].set(root_term),
         node_count=jnp.ones((B,), jnp.int32),
         sit_hash=jnp.zeros((B, N, 2), jnp.uint32).at[:, 0].set(root_hash),
+        policy_rank=policy_rank,
         bias_key=bias_key0,
         last_bias_delta=jnp.zeros((B, N), jnp.float32),
         last_bias_weight=jnp.zeros((B, N), jnp.float32),
         bias_table=jnp.zeros((B, K, 2), jnp.float32),
     )
-    return tree
 
 
 def _make_root_prior(cfg, sp: SearchParams, policy, legal, root_states, k_noise, turn_number):
@@ -434,6 +509,7 @@ def _select_action(cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: 
     child_q = cs["u"]
     has_child = cs["live"]
 
+    node_stats = tree.stats[bidx, node]  # [B, 8]
     total_child_w = child_w.sum(-1)
 
     # cpuct and explore scaling (searchexplorehelpers.cpp:9-25)
@@ -442,9 +518,9 @@ def _select_action(cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: 
     )
     # parent utility stdev factor (searchexplorehelpers.cpp:262-285)
     if sp.cpuctUtilityStdevScale != 0.0:
-        w_sum = tree.weight_sum[bidx, node]
-        u = tree.utility_avg[bidx, node]
-        usq = jnp.maximum(tree.utility_sq_avg[bidx, node], u * u)
+        w_sum = node_stats[:, S_W]
+        u = node_stats[:, S_U]
+        usq = jnp.maximum(node_stats[:, S_USQ], u * u)
         var_prior = sp.cpuctUtilityStdevPrior**2
         pw = sp.cpuctUtilityStdevPriorWeight
         stdev = jnp.sqrt(
@@ -465,10 +541,10 @@ def _select_action(cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: 
     # FPU (searchexplorehelpers.cpp:286-300)
     legal_prior = jnp.maximum(prior, 0.0)
     mass_visited = jnp.where(has_child, legal_prior, 0.0).sum(-1)
-    parent_u = tree.utility_avg[bidx, node]
+    parent_u = node_stats[:, S_U]
     if sp.fpuParentWeight > 0.0:
         parent_u = (
-            sp.fpuParentWeight * tree.self_utility[bidx, node]
+            sp.fpuParentWeight * tree.self_stats[bidx, node, F_U]
             + (1.0 - sp.fpuParentWeight) * parent_u
         )
     red_max = jnp.where(is_root, sp.rootFpuReductionMax, sp.fpuReductionMax)
@@ -504,9 +580,8 @@ def _simulate_once(
 ):
     """One playout per game. `active` [B] masks out games whose playout is a
     no-op (used by visit-target searches over reused trees)."""
-    B = tree.visits.shape[0]
+    B = tree.stats.shape[0]
     bidx = jnp.arange(B)
-    A = tree.prior.shape[-1]
     k_leak, k_eval, rng = jax.random.split(rng, 3)
     act_mask = jnp.ones((B,), bool) if active is None else active
 
@@ -517,11 +592,11 @@ def _simulate_once(
     acts0 = jnp.zeros((B, max_depth + 1), jnp.int32)
 
     def cond(carry):
-        _, _, active, _, _, _ = carry
-        return jnp.any(active)
+        _, _, active_, _, _, _ = carry
+        return jnp.any(active_)
 
     def body(carry):
-        node, depth, active, path, acts, catch = carry
+        node, depth, active_, path, acts, catch = carry
         is_root = node == 0
         term = tree.is_terminal[bidx, node]
         act = _select_action(cfg, sp, tree, node, is_root)
@@ -531,11 +606,10 @@ def _simulate_once(
 
         if sp.useGraphSearch:
             evis = tree.edge_visits[bidx, node, act]
-            cvis = tree.visits[bidx, cidx]
-            want_catch = has_child & (evis < cvis)
+            cvis = tree.stats[bidx, cidx, S_VISITS]
+            want_catch = has_child & (evis.astype(jnp.float32) < cvis - 0.5)
             if sp.graphSearchCatchUpLeakProb > 0.0:
                 leak_key = jax.random.fold_in(k_leak, 0)
-                # per-(game, depth) leak decision
                 u = jax.random.uniform(jax.random.fold_in(leak_key, 1), (B, max_depth + 1))
                 leak = u[bidx, jnp.minimum(depth, max_depth)] < sp.graphSearchCatchUpLeakProb
                 want_catch = want_catch & ~leak
@@ -543,17 +617,16 @@ def _simulate_once(
             want_catch = jnp.zeros((B,), bool)
 
         stop = term | want_catch | ~has_child
-        move_on = active & ~stop
-        # record the action at this node (the stopping edge for expand/catch)
-        acts = acts.at[bidx, jnp.where(active & ~term, depth, max_depth)].set(
-            jnp.where(active & ~term, act, acts[:, max_depth])
+        move_on = active_ & ~stop
+        acts = acts.at[bidx, jnp.where(active_ & ~term, depth, max_depth)].set(
+            jnp.where(active_ & ~term, act, acts[:, max_depth])
         )
         new_node = jnp.where(move_on, cidx, node)
         new_depth = jnp.where(move_on, depth + 1, depth)
         path = path.at[bidx, jnp.where(move_on, new_depth, 0)].set(
             jnp.where(move_on, new_node, path[:, 0])
         )
-        catch = catch | (active & want_catch & ~term)
+        catch = catch | (active_ & want_catch & ~term)
         new_active = move_on & (new_depth < max_depth)
         return new_node, new_depth, new_active, path, acts, catch
 
@@ -579,7 +652,7 @@ def _simulate_once(
 
     if sp.useGraphSearch:
         new_hash = jax.vmap(functools.partial(situation_hash, cfg))(new_states)  # [B,2]
-        slot_valid = jnp.arange(tree.visits.shape[1])[None, :] < tree.node_count[:, None]
+        slot_valid = jnp.arange(tree.stats.shape[1])[None, :] < tree.node_count[:, None]
         hmatch = (
             slot_valid
             & (tree.sit_hash[:, :, 0] == new_hash[:, 0:1])
@@ -592,7 +665,7 @@ def _simulate_once(
         found_idx = jnp.zeros((B,), jnp.int32)
 
     new_idx = tree.node_count  # [B] next free slot
-    capacity_ok = new_idx < tree.visits.shape[1]
+    capacity_ok = new_idx < tree.stats.shape[1]
     do_alloc = expanding & ~found & capacity_ok
     do_link = expanding & found
     overflow = expanding & ~found & ~capacity_ok
@@ -621,12 +694,18 @@ def _simulate_once(
         old = arr[bidx, slot]
         return arr.at[bidx, slot].set(jnp.where(do_alloc, val, old))
 
+    def upd_row(arr, val):
+        old = arr[bidx, slot]
+        return arr.at[bidx, slot].set(jnp.where(do_alloc[:, None], val, old))
+
     if sp.useGraphSearch:
-        sit_hash = tree.sit_hash.at[bidx, slot].set(
-            jnp.where(do_alloc[:, None], new_hash, tree.sit_hash[bidx, slot])
-        )
+        sit_hash = upd_row(tree.sit_hash, new_hash)
     else:
         sit_hash = tree.sit_hash
+
+    one = jnp.ones((B,), jnp.float32)
+    new_stats_row = _stats_row(one, w_new, w_new * w_new, u_init, u_init * u_init, wl_new, d_new)
+    new_self_row = jnp.stack([u_raw, wl_new, d_new, w_new], axis=-1)
 
     new_child_idx = jnp.where(do_link, found_idx, new_idx)
     tree = tree._replace(
@@ -641,19 +720,19 @@ def _simulate_once(
             tree.states,
             new_states,
         ),
-        visits=upd(tree.visits, jnp.ones((B,), jnp.int32)),
-        weight_sum=upd(tree.weight_sum, w_new),
-        weight_sq_sum=upd(tree.weight_sq_sum, w_new * w_new),
-        utility_avg=upd(tree.utility_avg, u_init),
-        utility_sq_avg=upd(tree.utility_sq_avg, u_init * u_init),
-        wl_avg=upd(tree.wl_avg, wl_new),
-        draw_avg=upd(tree.draw_avg, d_new),
-        self_utility=upd(tree.self_utility, u_raw),
-        self_wl=upd(tree.self_wl, wl_new),
-        self_draw=upd(tree.self_draw, d_new),
-        self_weight=upd(tree.self_weight, w_new),
-        prior=tree.prior.at[bidx, slot].set(
-            jnp.where(do_alloc[:, None], new_prior, tree.prior[bidx, slot])
+        stats=upd_row(tree.stats, new_stats_row),
+        self_stats=upd_row(tree.self_stats, new_self_row),
+        prior=upd_row(tree.prior, new_prior),
+        policy_rank=(
+            tree.policy_rank.at[bidx, slot].set(
+                jnp.where(
+                    do_alloc[:, None, None],
+                    _rank_pair(new_prior),
+                    tree.policy_rank[bidx, slot],
+                )
+            )
+            if sp.useNoisePruning
+            else tree.policy_rank
         ),
         parent=upd(tree.parent, leaf),
         parent_action=upd(tree.parent_action, action),
@@ -677,34 +756,26 @@ def _simulate_once(
     # Terminal leaf (or capacity overflow): re-add its stored value
     # (search.cpp:943-952) incrementally — terminal nodes have no children.
     revisit = leaf_terminal | overflow
-    leaf_w = tree.self_weight[bidx, leaf]
-    leaf_u = tree.self_utility[bidx, leaf]
-    leaf_wl = tree.self_wl[bidx, leaf]
-    leaf_draw = tree.self_draw[bidx, leaf]
-    old_ws = tree.weight_sum[bidx, leaf]
-    new_ws = old_ws + leaf_w
-
-    def revisit_upd(arr, add_val):
-        old = arr[bidx, leaf]
-        upd_val = (old * old_ws + add_val * leaf_w) / jnp.maximum(new_ws, _EPS)
-        return arr.at[bidx, leaf].set(jnp.where(revisit, upd_val, old))
-
+    leaf_row = tree.stats[bidx, leaf]  # [B, 8]
+    leaf_self = tree.self_stats[bidx, leaf]
+    lw = leaf_self[:, F_W]
+    old_ws = leaf_row[:, S_W]
+    new_ws = old_ws + lw
+    inv = 1.0 / jnp.maximum(new_ws, _EPS)
+    lu = leaf_self[:, F_U]
+    revisit_row = _stats_row(
+        leaf_row[:, S_VISITS] + 1.0,
+        new_ws,
+        leaf_row[:, S_WSQ] + lw * lw,
+        (leaf_row[:, S_U] * old_ws + lu * lw) * inv,
+        (leaf_row[:, S_USQ] * old_ws + lu * lu * lw) * inv,
+        (leaf_row[:, S_WL] * old_ws + leaf_self[:, F_WL] * lw) * inv,
+        (leaf_row[:, S_DRAW] * old_ws + leaf_self[:, F_DRAW] * lw) * inv,
+    )
     tree = tree._replace(
-        utility_avg=revisit_upd(tree.utility_avg, leaf_u),
-        utility_sq_avg=revisit_upd(tree.utility_sq_avg, leaf_u * leaf_u),
-        wl_avg=revisit_upd(tree.wl_avg, leaf_wl),
-        draw_avg=revisit_upd(tree.draw_avg, leaf_draw),
-        weight_sum=tree.weight_sum.at[bidx, leaf].set(
-            jnp.where(revisit, new_ws, tree.weight_sum[bidx, leaf])
-        ),
-        weight_sq_sum=tree.weight_sq_sum.at[bidx, leaf].set(
-            jnp.where(
-                revisit,
-                tree.weight_sq_sum[bidx, leaf] + leaf_w * leaf_w,
-                tree.weight_sq_sum[bidx, leaf],
-            )
-        ),
-        visits=tree.visits.at[bidx, leaf].add(revisit.astype(jnp.int32)),
+        stats=tree.stats.at[bidx, leaf].set(
+            jnp.where(revisit[:, None], revisit_row, leaf_row)
+        )
     )
 
     # ---------------- Traversed-edge visits ----------------
@@ -734,7 +805,10 @@ def _simulate_once(
         on_path = (l <= limit) & (n >= 0) & (l <= leaf_depth) & act_mask
         return _recompute_node(cfg, sp, tr, n, on_path)
 
-    tree = jax.lax.fori_loop(0, max_depth + 1, backup_level, tree)
+    # only levels up to the deepest leaf in the batch do any work; dynamic
+    # lower bound turns the fixed board-area unroll into ~actual-depth trips
+    deepest = jnp.max(jnp.where(act_mask, limit, 0))
+    tree = jax.lax.fori_loop(max_depth - deepest, max_depth + 1, backup_level, tree)
     return tree, rng
 
 
@@ -746,7 +820,7 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
     """recomputeNodeStats for [B] nodes (searchupdatehelpers.cpp:152-337):
     aggregate child edges with noise pruning + value-based downweighting,
     update the subtree-value-bias entry, and add the node's (biased) direct
-    eval."""
+    eval. One packed row write per node."""
     B = node.shape[0]
     bidx = jnp.arange(B)
     is_root = node == 0
@@ -760,10 +834,12 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
     # --- noise pruning (pruneNoiseWeight, vectorized approximation) ---
     if sp.useNoisePruning:
         raw_prior = jnp.maximum(tree.prior[bidx, node], 1e-30)
-        order = jnp.argsort(-raw_prior, axis=-1)  # policy-descending
-        w_o = jnp.take_along_axis(cw, order, axis=-1)
-        u_o = jnp.take_along_axis(cu, order, axis=-1)
-        p_o = jnp.take_along_axis(raw_prior, order, axis=-1)
+        rank = tree.policy_rank[bidx, node]  # [B, 2, A], precomputed
+        order, inv_order = rank[:, 0], rank[:, 1]
+        # one gather for all three channels, inverse-permute to go back
+        packed = jnp.stack([cw, cu, raw_prior], axis=-1)  # [B, A, 3]
+        packed_o = jnp.take_along_axis(packed, order[..., None], axis=1)
+        w_o, u_o, p_o = packed_o[..., 0], packed_o[..., 1], packed_o[..., 2]
         cum_w = jnp.cumsum(w_o, axis=-1) - w_o
         cum_uw = jnp.cumsum(u_o * w_o, axis=-1) - u_o * w_o
         cum_p = jnp.cumsum(p_o, axis=-1) - p_o
@@ -779,7 +855,7 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
         if sp.noisePruningCap < 1e30:  # default 1e50 = uncapped (f32-safe)
             sub = jnp.minimum(sub, sp.noisePruningCap)
         w_pruned_o = w_o - sub
-        cw_used = jnp.zeros_like(cw).at[bidx[:, None], order].set(w_pruned_o)
+        cw_used = jnp.take_along_axis(w_pruned_o, inv_order, axis=-1)
     else:
         cw_used = cw
 
@@ -816,10 +892,9 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
 
     scaling = jnp.where(cw > 0, w_adj / jnp.maximum(cw, _EPS), 0.0)
 
-    self_w = tree.self_weight[bidx, node]
-    self_u_raw = tree.self_utility[bidx, node]
-    self_wl_v = tree.self_wl[bidx, node]
-    self_draw_v = tree.self_draw[bidx, node]
+    selfs = tree.self_stats[bidx, node]  # [B, 4]
+    self_w = selfs[:, F_W]
+    self_u_raw = selfs[:, F_U]
 
     child_w_total = w_adj.sum(-1)
     util_children_sum = (w_adj * cu).sum(-1)
@@ -834,8 +909,9 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
         do_upd = mask & has_children
         d_delta = jnp.where(do_upd, delta - tree.last_bias_delta[bidx, node], 0.0)
         d_weight = jnp.where(do_upd, w_b - tree.last_bias_weight[bidx, node], 0.0)
-        bias_table = tree.bias_table.at[bidx, key, 0].add(d_delta)
-        bias_table = bias_table.at[bidx, key, 1].add(d_weight)
+        bias_table = tree.bias_table.at[bidx, key].add(
+            jnp.stack([d_delta, d_weight], axis=-1)
+        )
         tree = tree._replace(
             bias_table=bias_table,
             last_bias_delta=tree.last_bias_delta.at[bidx, node].set(
@@ -856,27 +932,21 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
         self_u = self_u_raw
 
     weight_sum = child_w_total + self_w
-    utility_avg = (util_children_sum + self_w * self_u) / jnp.maximum(weight_sum, _EPS)
-    utility_sq_avg = ((w_adj * cusq).sum(-1) + self_w * self_u * self_u) / jnp.maximum(
-        weight_sum, _EPS
+    inv = 1.0 / jnp.maximum(weight_sum, _EPS)
+    old_row = tree.stats[bidx, node]
+    new_row = _stats_row(
+        old_row[:, S_VISITS] + 1.0,
+        weight_sum,
+        (scaling * scaling * cwsq).sum(-1) + self_w * self_w,
+        (util_children_sum + self_w * self_u) * inv,
+        ((w_adj * cusq).sum(-1) + self_w * self_u * self_u) * inv,
+        ((w_adj * cwl).sum(-1) + self_w * selfs[:, F_WL]) * inv,
+        ((w_adj * cdraw).sum(-1) + self_w * selfs[:, F_DRAW]) * inv,
     )
-    wl_avg = ((w_adj * cwl).sum(-1) + self_w * self_wl_v) / jnp.maximum(weight_sum, _EPS)
-    draw_avg = ((w_adj * cdraw).sum(-1) + self_w * self_draw_v) / jnp.maximum(
-        weight_sum, _EPS
-    )
-    weight_sq_sum = (scaling * scaling * cwsq).sum(-1) + self_w * self_w
-
-    def m(arr, val):
-        return arr.at[bidx, node].set(jnp.where(mask, val, arr[bidx, node]))
-
     return tree._replace(
-        utility_avg=m(tree.utility_avg, utility_avg),
-        utility_sq_avg=m(tree.utility_sq_avg, utility_sq_avg),
-        wl_avg=m(tree.wl_avg, wl_avg),
-        draw_avg=m(tree.draw_avg, draw_avg),
-        weight_sum=m(tree.weight_sum, weight_sum),
-        weight_sq_sum=m(tree.weight_sq_sum, weight_sq_sum),
-        visits=tree.visits.at[bidx, node].add(mask.astype(jnp.int32)),
+        stats=tree.stats.at[bidx, node].set(
+            jnp.where(mask[:, None], new_row, old_row)
+        )
     )
 
 
@@ -930,16 +1000,16 @@ def run_search(
         cfg, sp, eval_fn, reuse_tree, reuse_actions, root_states, k_init,
         reuse_ok=reuse_ok,
     )
-    target = num_sims + 1
+    target = float(num_sims + 1)
 
     def cond(carry):
         tree, rng, it = carry
-        return (it < num_sims) & jnp.any(tree.visits[:, 0] < target)
+        return (it < num_sims) & jnp.any(tree.stats[:, 0, S_VISITS] < target)
 
     def body(carry):
         tree, rng, it = carry
         k, rng = jax.random.split(rng)
-        active = tree.visits[:, 0] < target
+        active = tree.stats[:, 0, S_VISITS] < target
         tree, _ = _simulate_once(cfg, sp, eval_fn, tree, k, max_depth, active=active)
         return tree, rng, it + 1
 
@@ -969,7 +1039,7 @@ def advance_root(
     where `reuse_ok` is False (e.g. the episode auto-reset), get a fresh
     root from a batched evaluation of `root_states`. Root priors are
     re-tempered/re-noised in both cases, as beginSearch does."""
-    B, N = tree.visits.shape
+    B, N = tree.stats.shape[:2]
     bidx = jnp.arange(B)
     nidx = jnp.arange(N)
 
@@ -1006,11 +1076,10 @@ def advance_root(
     n_kept = kept.sum(axis=1)
     live = nidx[None, :] < n_kept[:, None]  # mask in NEW index space
 
-    def g2(arr):  # [B, N] gather
+    def g2(arr):  # [B, N] / [B, N, ...] gather by the permutation
         return arr[bidx[:, None], order]
 
-    def g3(arr):  # [B, N, ...] gather
-        return arr[bidx[:, None], order]
+    g3 = g2
 
     # children: remap through the keep set (dropped targets become -1)
     ch_g = g3(tree.children)
@@ -1058,17 +1127,8 @@ def advance_root(
 
     reused = Tree(
         states=jax.tree_util.tree_map(lambda x: x[bidx[:, None], order], tree.states),
-        visits=jnp.where(live, g2(tree.visits), 0),
-        weight_sum=jnp.where(live, g2(tree.weight_sum), 0.0),
-        weight_sq_sum=jnp.where(live, g2(tree.weight_sq_sum), 0.0),
-        utility_avg=jnp.where(live, g2(tree.utility_avg), 0.0),
-        utility_sq_avg=jnp.where(live, g2(tree.utility_sq_avg), 0.0),
-        wl_avg=jnp.where(live, g2(tree.wl_avg), 0.0),
-        draw_avg=jnp.where(live, g2(tree.draw_avg), 0.0),
-        self_utility=jnp.where(live, g2(tree.self_utility), 0.0),
-        self_wl=jnp.where(live, g2(tree.self_wl), 0.0),
-        self_draw=jnp.where(live, g2(tree.self_draw), 0.0),
-        self_weight=jnp.where(live, g2(tree.self_weight), 0.0),
+        stats=jnp.where(live[:, :, None], g3(tree.stats), 0.0),
+        self_stats=jnp.where(live[:, :, None], g3(tree.self_stats), 0.0),
         prior=g3(tree.prior),
         root_prior=reused_root_prior,
         children=ch_new,
@@ -1078,6 +1138,7 @@ def advance_root(
         is_terminal=jnp.where(live, g2(tree.is_terminal), False),
         node_count=n_kept,
         sit_hash=g3(tree.sit_hash),
+        policy_rank=g3(tree.policy_rank) if sp.useNoisePruning else tree.policy_rank,
         bias_key=bias_key,
         last_bias_delta=last_bd,
         last_bias_weight=last_bw,
@@ -1116,11 +1177,11 @@ def root_values(tree: Tree):
     bidx = jnp.arange(B)
     cs = _child_edge_stats(tree, bidx, jnp.zeros((B,), jnp.int32))
     return {
-        "root_utility": tree.utility_avg[:, 0],
-        "root_wl": tree.wl_avg[:, 0],
-        "root_draw": tree.draw_avg[:, 0],
+        "root_utility": tree.stats[:, 0, S_U],
+        "root_wl": tree.stats[:, 0, S_WL],
+        "root_draw": tree.stats[:, 0, S_DRAW],
         "child_utility": cs["u"],
-        "root_visits": tree.visits[:, 0],
+        "root_visits": (tree.stats[:, 0, S_VISITS] + 0.5).astype(jnp.int32),
     }
 
 
