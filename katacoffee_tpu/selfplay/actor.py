@@ -50,6 +50,19 @@ class SelfplaySettings:
     # TD lambdas, from the reference's boardArea-scaled formulas
     # (trainingwrite.h:141-146): lambda = 1 - 1/(1 + boardArea * c)
     td_coeffs: tuple = (0.176, 0.056, 0.016)
+    # Policy-initialized openings (PlayUtils::initializeGameUsingPolicy,
+    # playutils.cpp:147-174; selfplay1.cfg:55-56): each episode opens with
+    # ~Exponential()·area·prop moves sampled from the raw policy at
+    # `policy_init_temperature`; those rows get weight 0 (they are opening
+    # randomization, not training targets).
+    init_games_with_policy: bool = True
+    policy_init_area_prop: float = 0.04
+    policy_init_temperature: float = 1.0
+    # Surprise-weighted rows (play.cpp:1501-1570; selfplay1.cfg:75-76):
+    # this share of each episode's training weight is re-concentrated on
+    # rows whose search outcome surprised the raw policy / raw value.
+    policy_surprise_weight: float = 0.5
+    value_surprise_weight: float = 0.1
     # Tree reuse between moves (beginSearch reuse, search.cpp:262-331):
     # each move's search starts from the played child's subtree and only
     # plays out the visit deficit — reused visits count toward num_sims
@@ -73,6 +86,9 @@ class Trajectory(NamedTuple):
     winner_after: jax.Array  # [T, B] winner if ended (0 draw)
     final_board: jax.Array  # [T, B, Y, X] filled during finalize
     episode_id: jax.Array  # [T, B] running episode counter per game
+    raw_policy: jax.Array  # [T, B, A] root raw NN policy (for surprise)
+    raw_value: jax.Array  # [T, B, 3] root raw NN win/loss/draw probs
+    policy_init: jax.Array  # [T, B] row was a policy-init opening move
 
 
 class TrainingBatch(NamedTuple):
@@ -110,15 +126,48 @@ def run_selfplay_segment(
     B = states.board.shape[0]
     max_nodes = settings.max_nodes or (settings.num_sims + 2)
 
+    def sample_init_len(key):
+        """~Exponential()·area·prop opening moves (playutils.cpp:160-161)."""
+        if not settings.init_games_with_policy:
+            return jnp.zeros((B,), jnp.int32)
+        e = jax.random.exponential(key, (B,))
+        return jnp.floor(e * cfg.area * settings.policy_init_area_prop).astype(jnp.int32)
+
     def one_move(carry, key):
-        st, ep, prev_tree, prev_action, reuse_ok = carry
-        k_search, k_move = jax.random.split(key)
+        st, ep, prev_tree, prev_action, reuse_ok, init_left = carry
+        k_search, k_move, k_init_move, k_init_len = jax.random.split(key, 4)
         tree = mcts.run_search(
             cfg, sp, eval_fn, st, settings.num_sims, k_search, max_nodes,
             reuse_tree=prev_tree, reuse_actions=prev_action, reuse_ok=reuse_ok,
         )
         pt = mcts.policy_target(tree, sp)
-        action = mcts.select_moves(cfg, sp, tree, k_move)
+        raw_policy = jnp.maximum(tree.prior[:, 0], 0.0)
+        selfs = tree.self_stats[:, 0]  # root raw NN eval (win/loss/draw)
+        raw_draw = jnp.clip(selfs[:, mcts.F_DRAW], 0.0, 1.0)
+        raw_wl = selfs[:, mcts.F_WL]
+        raw_value = jnp.stack(
+            [
+                jnp.clip((1.0 - raw_draw + raw_wl) * 0.5, 1e-6, 1.0),
+                jnp.clip((1.0 - raw_draw - raw_wl) * 0.5, 1e-6, 1.0),
+                jnp.maximum(raw_draw, 1e-6),
+            ],
+            axis=-1,
+        )
+
+        search_action = mcts.select_moves(cfg, sp, tree, k_move)
+        is_init = init_left > 0
+        if settings.init_games_with_policy:
+            # opening move straight from the tempered raw policy
+            logits = jnp.where(
+                raw_policy > 0,
+                jnp.log(jnp.maximum(raw_policy, 1e-30)) / settings.policy_init_temperature,
+                -jnp.inf,
+            )
+            init_action = jax.random.categorical(k_init_move, logits, axis=-1).astype(jnp.int32)
+            action = jnp.where(is_init, init_action, search_action)
+        else:
+            action = search_action
+
         vals = mcts.root_values(tree)
         nxt = jax.vmap(functools.partial(step, cfg))(st, action)
         rec = dict(
@@ -132,6 +181,9 @@ def run_selfplay_segment(
             winner_after=nxt.winner,
             final_board=nxt.board,
             episode_id=ep,
+            raw_policy=raw_policy,
+            raw_value=raw_value,
+            policy_init=is_init,
         )
         # auto-reset finished games
         fresh = jax.vmap(lambda _: init_state(cfg))(jnp.arange(st.board.shape[0]))
@@ -143,27 +195,33 @@ def run_selfplay_segment(
             fresh,
         )
         new_ep = ep + nxt.done.astype(jnp.int32)
+        new_init_left = jnp.where(
+            nxt.done, sample_init_len(k_init_len), jnp.maximum(init_left - 1, 0)
+        )
         if settings.tree_reuse:
             # next move reuses the played child's subtree unless the episode
             # just reset (the child is the done-state, not the fresh board)
-            new_carry = (new_st, new_ep, tree, action, ~nxt.done)
+            new_carry = (new_st, new_ep, tree, action, ~nxt.done, new_init_left)
         else:
-            new_carry = (new_st, new_ep, prev_tree, prev_action, reuse_ok)
+            new_carry = (new_st, new_ep, prev_tree, prev_action, reuse_ok, new_init_left)
         return new_carry, rec
 
-    k_init, rng = jax.random.split(rng)
+    k_init, k_len0, rng = jax.random.split(rng, 3)
     if settings.tree_reuse:
         # structural placeholder for the scan carry; reuse_ok=False makes the
         # first move ignore its contents and do a fresh root eval
         tree0 = mcts.init_tree(cfg, sp, eval_fn, states, max_nodes, k_init)
     else:
         tree0 = None
+    # only fresh boards entering the segment get an opening-init phase
+    init_left0 = jnp.where(states.num_turns == 0, sample_init_len(k_len0), 0)
     carry0 = (
         states,
         episode_id,
         tree0,
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), bool),
+        init_left0,
     )
     keys = jax.random.split(rng, num_moves)
     (new_states, new_ep, *_), recs = jax.lax.scan(one_move, carry0, keys)
@@ -336,7 +394,49 @@ def finalize_targets(
 
     futurepos = jnp.stack([signed(outs["fut1"]), signed(outs["fut2"])], axis=2)
 
-    weight = valid.astype(jnp.float32)
+    # policy-init opening rows are position randomization, not targets
+    weight = (valid & ~traj.policy_init).astype(jnp.float32)
+
+    # Surprise-based re-weighting per episode (play.cpp:1501-1570): keep each
+    # episode's total weight, but concentrate policy_surprise_weight /
+    # value_surprise_weight of it on rows where the search (policy) or the
+    # final result (value) most surprised the raw net.
+    psw = settings.policy_surprise_weight
+    vsw0 = settings.value_surprise_weight
+    if psw > 0.0 or vsw0 > 0.0:
+        pt_ = traj.policy_target
+        ps = jnp.where(
+            pt_ > 0,
+            pt_ * (jnp.log(jnp.maximum(pt_, 1e-30)) - jnp.log(jnp.maximum(traj.raw_policy, 1e-30))),
+            0.0,
+        ).sum(-1)  # [T, B] KL(search || raw policy)
+        vs = -(vt * jnp.log(jnp.maximum(traj.raw_value, 1e-30))).sum(-1) + (
+            vt * jnp.log(jnp.maximum(vt, 1e-30))
+        ).sum(-1)  # KL(result || raw value)
+        ps = jnp.maximum(ps, 0.0)
+        vs = jnp.maximum(vs, 0.0)
+
+        # per-(game, episode) segments; episode ids are made segment-relative
+        ep_rel = traj.episode_id - traj.episode_id[0:1, :]
+        sid = ep_rel * B + jnp.arange(B)[None, :]
+        nseg = (T + 1) * B
+        w_f, sid_f = weight.reshape(-1), sid.reshape(-1)
+        ps_f, vs_f = ps.reshape(-1), vs.reshape(-1)
+        W = jax.ops.segment_sum(w_f, sid_f, num_segments=nseg)
+        PSP = jax.ops.segment_sum(w_f * ps_f, sid_f, num_segments=nseg)
+        VSP = jax.ops.segment_sum(w_f * vs_f, sid_f, num_segments=nseg)
+        avg_vs = VSP / jnp.maximum(W, 1e-8)
+        # fade value-surprise weighting when the episode had almost none
+        # (play.cpp:1527-1532)
+        vsw = vsw0 * jnp.minimum(1.0, avg_vs / 0.010)
+        Wd = W[sid_f]
+        new_w = (
+            (1.0 - psw - vsw[sid_f]) * w_f
+            + psw * (w_f * ps_f) * Wd / jnp.maximum(PSP[sid_f], 1e-10)
+            + vsw[sid_f] * (w_f * vs_f) * Wd / jnp.maximum(VSP[sid_f], 1e-10)
+        )
+        # only reweight episodes with enough rows (sumWeights >= 1)
+        weight = jnp.where(Wd >= 1.0, new_w, w_f).reshape(T, B)
 
     def flat(x):
         return x.reshape((T * B,) + x.shape[2:])
