@@ -1,0 +1,352 @@
+"""Opening book for Coffee: a symmetry-reduced position DAG with search
+values, expanded by batched on-device search.
+
+Reference equivalents (`cpp/book/book.{h,cpp}`, `cpp/command/genbook.cpp`):
+  * BookHash → canonical situation hash over the 8 dihedral symmetries
+    (min of the transformed hashes, with the direction remap of
+    SymmetryHelpers::getSymDir handled by game/symmetry.py);
+  * node values from search (winloss from the node mover's perspective,
+    visits), edges by raw action in a canonical orientation;
+  * expansion policy → the reference ranks nodes by an elaborate cost model
+    (book.cpp); we use a simpler documented rule: expand the frontier node
+    with the highest path-probability × uncertainty, where path probability
+    multiplies the parents' policy priors — top-of-book lines get the
+    visits, like the reference's cost-based exploration;
+  * persistence: one JSON file (the reference's .katabook binary is a
+    serialization detail, not a capability);
+  * writebook → static HTML export (bookcssjs.cpp equivalent).
+
+TPU design: each expansion round gathers up to `batch_size` frontier
+positions and evaluates them with ONE batched search call — the reference
+needs a thread pool per position (genbook.cpp), here the batch axis does it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katacoffee_tpu.game import io as gio
+from katacoffee_tpu.game import symmetry as S
+from katacoffee_tpu.game.board import GameConfig, GameState, init_state, situation_hash, step
+from katacoffee_tpu.search import SearchParams, mcts
+
+
+def _canonical_key(cfg: GameConfig, state: GameState) -> tuple[str, int]:
+    """(canonical hash hex, symmetry mapping state->canonical)."""
+    best = None
+    best_sym = 0
+    for sym in range(S.NUM_SYMMETRIES):
+        st = S.apply_state(cfg, sym, state)
+        h = np.asarray(situation_hash(cfg, st))
+        key = f"{int(h[0]):08x}{int(h[1]):08x}"
+        if best is None or key < best:
+            best, best_sym = key, sym
+    return best, best_sym
+
+
+@dataclasses.dataclass
+class BookNode:
+    key: str
+    board: list  # [Y][X] ints, canonical orientation
+    to_move: int
+    last_spot: int
+    last_dir: int
+    num_turns: int
+    winloss: float = 0.0  # mover perspective, from search
+    draw: float = 0.0
+    visits: int = 0
+    path_prob: float = 0.0  # max product of priors from the root
+    expanded: bool = False
+    edges: dict = dataclasses.field(default_factory=dict)  # action -> (child key, prior, visits)
+
+    def state(self, cfg: GameConfig) -> GameState:
+        base = init_state(cfg)
+        st = base._replace(
+            board=jnp.asarray(np.array(self.board, np.int8)),
+            to_move=jnp.asarray(self.to_move, jnp.int8),
+            num_turns=jnp.asarray(self.num_turns, jnp.int32),
+        )
+        if self.last_spot >= 0:
+            st = st._replace(
+                last_spot=jnp.asarray(self.last_spot, jnp.int32),
+                last_dir=jnp.asarray(self.last_dir, jnp.int32),
+                recent_spots=st.recent_spots.at[0].set(self.last_spot),
+                recent_dirs=st.recent_dirs.at[0].set(self.last_dir),
+            )
+        return st
+
+
+class Book:
+    def __init__(self, cfg: GameConfig):
+        self.cfg = cfg
+        self.nodes: dict[str, BookNode] = {}
+        self._search_cache: dict[tuple, object] = {}
+        root_state = init_state(cfg)
+        self.root_key = self._add_state(root_state, path_prob=1.0)
+
+    def _add_state(self, state: GameState, path_prob: float) -> str:
+        key, sym = _canonical_key(self.cfg, state)
+        if key in self.nodes:
+            node = self.nodes[key]
+            node.path_prob = max(node.path_prob, path_prob)
+            return key
+        canon = S.apply_state(self.cfg, sym, state)
+        self.nodes[key] = BookNode(
+            key=key,
+            board=np.asarray(canon.board).tolist(),
+            to_move=int(canon.to_move),
+            last_spot=int(canon.last_spot),
+            last_dir=int(canon.last_dir),
+            num_turns=int(canon.num_turns),
+            path_prob=path_prob,
+        )
+        return key
+
+    # ------------------------------------------------------------------
+
+    def frontier(self, limit: int) -> list[str]:
+        """Unexpanded nodes ranked by path probability (the expansion-order
+        heuristic; see module docstring)."""
+        cand = [n for n in self.nodes.values() if not n.expanded]
+        cand.sort(key=lambda n: -n.path_prob)
+        return [n.key for n in cand[:limit]]
+
+    def expand(
+        self,
+        keys: list[str],
+        sp: SearchParams,
+        eval_fn,
+        num_visits: int,
+        rng,
+        top_k: int = 4,
+        min_prior: float = 0.02,
+    ):
+        """Expand the given nodes with ONE batched search call."""
+        if not keys:
+            return
+        cfg = self.cfg
+        # pad to a stable batch size so the search compiles once
+        n_real = len(keys)
+        pad = (-n_real) % max(8, 1 << (n_real - 1).bit_length()) if n_real > 1 else 0
+        keys_padded = list(keys) + [keys[-1]] * pad
+        states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[self.nodes[k].state(cfg) for k in keys_padded]
+        )
+        ck = (sp, num_visits, len(keys_padded), id(eval_fn))
+        search = self._search_cache.get(ck)
+        if search is None:
+            search = jax.jit(
+                lambda s, k: mcts.run_search(cfg, sp, eval_fn, s, num_visits, k)
+            )
+            self._search_cache[ck] = search
+        tree = search(states, rng)
+        vals = mcts.root_values(tree)
+        rv = np.asarray(mcts.root_visit_counts(tree))  # [B, A]
+        priors = np.asarray(jnp.maximum(tree.prior[:, 0], 0.0))
+        wl = np.asarray(vals["root_wl"])
+        draw = np.asarray(vals["root_draw"])
+        child_u = np.asarray(vals["child_utility"])  # parent persp.
+
+        step1 = jax.jit(lambda s, a: step(cfg, s, a))
+        for i, k in enumerate(keys):
+            node = self.nodes[k]
+            node.winloss = float(wl[i])
+            node.draw = float(draw[i])
+            node.visits += num_visits
+            node.expanded = True
+            # top moves by search visits (at least min_prior or visited)
+            order = np.argsort(-rv[i])
+            added = 0
+            st = node.state(cfg)
+            for a in order:
+                if added >= top_k or rv[i][a] <= 0:
+                    break
+                # low-prior moves still enter the book if the search actually
+                # spent visits on them
+                if priors[i][a] < min_prior and rv[i][a] < 2 and added > 0:
+                    continue
+                child_state = step1(st, jnp.asarray(int(a), jnp.int32))
+                child_prob = node.path_prob * max(float(priors[i][a]), 1e-3)
+                if bool(child_state.done):
+                    ckey = self._add_state(child_state, child_prob)
+                    self.nodes[ckey].expanded = True  # terminal: nothing to expand
+                    self.nodes[ckey].winloss = -1.0 if int(child_state.winner) else 0.0
+                else:
+                    ckey = self._add_state(child_state, child_prob)
+                node.edges[int(a)] = (ckey, float(priors[i][a]), int(rv[i][a]))
+                added += 1
+
+    # ------------------------------------------------------------------
+
+    def best_line(self, max_len: int = 10) -> list[tuple[str, int]]:
+        """Greedy most-visited line from the root: [(node key, action)]."""
+        out = []
+        key = self.root_key
+        seen = set()
+        for _ in range(max_len):
+            node = self.nodes[key]
+            if not node.edges or key in seen:
+                break
+            seen.add(key)
+            a = max(node.edges, key=lambda a: node.edges[a][2])
+            out.append((key, a))
+            key = node.edges[a][0]
+        return out
+
+    def check(self) -> list[str]:
+        """Consistency check (the reference's checkbook): every edge target
+        exists; winloss in range; root reachable sizes."""
+        errors = []
+        for k, node in self.nodes.items():
+            for a, (ckey, prior, visits) in node.edges.items():
+                if ckey not in self.nodes:
+                    errors.append(f"{k}: edge {a} -> missing node {ckey}")
+                if not (0 <= a < self.cfg.policy_size):
+                    errors.append(f"{k}: bad action {a}")
+            if not (-1.0001 <= node.winloss <= 1.0001):
+                errors.append(f"{k}: winloss out of range {node.winloss}")
+        if self.root_key not in self.nodes:
+            errors.append("missing root")
+        return errors
+
+    # ------------------------------------------------------------------
+
+    def save(self, path: str):
+        data = {
+            "version": 1,
+            "game": "coffee",
+            "x_size": self.cfg.x_size,
+            "y_size": self.cfg.y_size,
+            "win_len": self.cfg.win_len,
+            "root": self.root_key,
+            "nodes": {
+                k: {
+                    **{f: getattr(n, f) for f in (
+                        "board", "to_move", "last_spot", "last_dir", "num_turns",
+                        "winloss", "draw", "visits", "path_prob", "expanded",
+                    )},
+                    "edges": {str(a): list(e) for a, e in n.edges.items()},
+                }
+                for k, n in self.nodes.items()
+            },
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def load(path: str) -> "Book":
+        with open(path) as f:
+            data = json.load(f)
+        cfg = GameConfig(data["x_size"], data["y_size"], data["win_len"])
+        book = Book(cfg)
+        book.nodes = {}
+        for k, nd in data["nodes"].items():
+            node = BookNode(
+                key=k,
+                board=nd["board"],
+                to_move=nd["to_move"],
+                last_spot=nd["last_spot"],
+                last_dir=nd["last_dir"],
+                num_turns=nd["num_turns"],
+                winloss=nd["winloss"],
+                draw=nd["draw"],
+                visits=nd["visits"],
+                path_prob=nd["path_prob"],
+                expanded=nd["expanded"],
+                edges={int(a): tuple(e) for a, e in nd["edges"].items()},
+            )
+            book.nodes[k] = node
+        book.root_key = data["root"]
+        return book
+
+    # ------------------------------------------------------------------
+
+    def export_html(self, out_dir: str, max_nodes: int = 2000):
+        """Static HTML browser (writebook / bookcssjs.cpp equivalent):
+        one page per node with the board, values, and move links."""
+        os.makedirs(out_dir, exist_ok=True)
+        cfg = self.cfg
+        nodes = sorted(self.nodes.values(), key=lambda n: -n.path_prob)[:max_nodes]
+        keys = {n.key for n in nodes}
+        css = (
+            "body{font-family:sans-serif;margin:2em}"
+            "table.b{border-collapse:collapse}"
+            "table.b td{width:28px;height:28px;border:1px solid #999;"
+            "text-align:center;font-size:18px}"
+            "td.black{background:#333;color:#fff}td.white{background:#eee}"
+            "table.m{border-collapse:collapse;margin-top:1em}"
+            "table.m td,table.m th{border:1px solid #ccc;padding:4px 10px}"
+        )
+        with open(os.path.join(out_dir, "style.css"), "w") as f:
+            f.write(css)
+        for n in nodes:
+            rows = []
+            for y in range(cfg.y_size):
+                cells = []
+                for x in range(cfg.x_size):
+                    c = n.board[y][x]
+                    cls = {0: "", 1: "black", 2: "white"}[c]
+                    glyph = {0: "", 1: "X", 2: "O"}[c]
+                    cells.append(f'<td class="{cls}">{glyph}</td>')
+                rows.append("<tr>" + "".join(cells) + "</tr>")
+            moves = []
+            for a, (ckey, prior, visits) in sorted(
+                n.edges.items(), key=lambda kv: -kv[1][2]
+            ):
+                mv = gio.action_to_string(a, cfg)
+                link = f'<a href="{ckey}.html">{mv}</a>' if ckey in keys else mv
+                moves.append(
+                    f"<tr><td>{link}</td><td>{prior:.3f}</td><td>{visits}</td></tr>"
+                )
+            mover = "black (X)" if n.to_move == 1 else "white (O)"
+            html = (
+                "<!DOCTYPE html><html><head>"
+                '<link rel="stylesheet" href="style.css"><title>KataCoffee book</title></head><body>'
+                f"<h2>Position {n.key[:12]}</h2>"
+                f'<table class="b">{"".join(rows)}</table>'
+                f"<p>to move: {mover} · winloss {n.winloss:+.3f} · draw {n.draw:.3f} "
+                f"· visits {n.visits} · reach-prob {n.path_prob:.4f}</p>"
+                '<table class="m"><tr><th>move</th><th>prior</th><th>visits</th></tr>'
+                + "".join(moves)
+                + "</table>"
+                + f'<p><a href="{self.root_key}.html">root</a></p>'
+                + "</body></html>"
+            )
+            with open(os.path.join(out_dir, f"{n.key}.html"), "w") as f:
+                f.write(html)
+        with open(os.path.join(out_dir, "index.html"), "w") as f:
+            f.write(
+                f'<!DOCTYPE html><html><head><meta http-equiv="refresh" '
+                f'content="0; url={self.root_key}.html"></head></html>'
+            )
+
+
+def build_book(
+    cfg: GameConfig,
+    sp: SearchParams,
+    eval_fn,
+    num_rounds: int,
+    batch_size: int,
+    num_visits: int,
+    seed: int = 0,
+    log=print,
+) -> Book:
+    book = Book(cfg)
+    key = jax.random.PRNGKey(seed)
+    for r in range(num_rounds):
+        frontier = book.frontier(batch_size)
+        if not frontier:
+            break
+        key, k = jax.random.split(key)
+        book.expand(frontier, sp, eval_fn, num_visits, k)
+        log(f"book: round {r}: expanded {len(frontier)}, total nodes {len(book.nodes)}")
+    return book

@@ -27,6 +27,12 @@ Training pipeline (shared -base-dir layout):
   match        round-robin matches between exported models
   summarize_sgfs  tally SGF results and fit MLE Elos
 
+Opening book:
+  genbook      expand an opening book with batched search
+  writebook    export a book as static HTML
+  checkbook    consistency-check a book file
+  booktoposes  dump book positions as SGF start positions
+
 Other:
   version      print version
   runtests     run the pytest suite
@@ -139,6 +145,16 @@ def main(argv: list[str] | None = None) -> int:
 
         m(args)
         return 0
+    if cmd in ("genbook", "writebook", "checkbook", "booktoposes"):
+        from katacoffee_tpu.command import genbook as gb
+
+        fn = {
+            "genbook": gb.main_genbook,
+            "writebook": gb.main_writebook,
+            "checkbook": gb.main_checkbook,
+            "booktoposes": gb.main_booktoposes,
+        }[cmd]
+        return fn(args) or 0
     if cmd == "summarize_sgfs":
         from katacoffee_tpu.command.summarize_sgfs import main as m
 

@@ -1,0 +1,93 @@
+"""Opening book tests: canonical symmetry keys, batched expansion,
+save/load round-trip, consistency check, HTML export."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katacoffee_tpu.book import Book, build_book
+from katacoffee_tpu.game import symmetry as S
+from katacoffee_tpu.game.board import GameConfig, init_state, step
+from katacoffee_tpu.search import SearchParams, uniform_eval_fn
+
+CFG = GameConfig(5, 5, 4)
+SP = SearchParams(valueWeightExponent=0.0)
+
+
+def small_book(rounds=2, batch=8, visits=48, seed=0):
+    return build_book(
+        CFG, SP, uniform_eval_fn(CFG),
+        num_rounds=rounds, batch_size=batch, num_visits=visits,
+        seed=seed, log=lambda *a: None,
+    )
+
+
+class TestBook:
+    def test_build_and_expand(self):
+        book = small_book()
+        assert len(book.nodes) > 8
+        root = book.nodes[book.root_key]
+        assert root.expanded
+        assert root.edges
+        assert root.visits > 0
+        assert book.check() == []
+
+    def test_symmetric_positions_merge(self):
+        """The 8 dihedral images of one opening line must share a node."""
+        book = Book(CFG)
+        s = init_state(CFG)
+        a = 2 * 25 + 1 * 5 + 1  # B2 northwest
+        st = step(CFG, s, jnp.asarray(a, jnp.int32))
+        k1 = book._add_state(st, 0.5)
+        # the symmetric image of the same move
+        for sym in range(1, S.NUM_SYMMETRIES):
+            sa = int(S.apply_action(CFG, sym, jnp.asarray(a)))
+            st2 = step(CFG, s, jnp.asarray(sa, jnp.int32))
+            k2 = book._add_state(st2, 0.5)
+            assert k2 == k1, sym
+
+    def test_save_load_roundtrip(self, tmp_path):
+        book = small_book()
+        path = str(tmp_path / "book.json")
+        book.save(path)
+        loaded = Book.load(path)
+        assert loaded.root_key == book.root_key
+        assert set(loaded.nodes) == set(book.nodes)
+        n1 = book.nodes[book.root_key]
+        n2 = loaded.nodes[book.root_key]
+        assert n1.edges == n2.edges
+        assert n1.winloss == n2.winloss
+        assert loaded.check() == []
+
+    def test_best_line_is_legal(self):
+        from tests.oracle import OracleGame
+
+        book = small_book(rounds=3)
+        line = book.best_line()
+        assert line
+        g = OracleGame()
+        for key, a in line:
+            # actions are in each node's canonical orientation, so replay
+            # node-by-node instead of as one game: the move must be legal in
+            # the node's own position
+            node = book.nodes[key]
+            g2 = OracleGame()
+            g2.board = [row[:] for row in node.board]
+            g2.to_move = node.to_move
+            if node.last_spot >= 0:
+                g2.last_xy = (node.last_spot % 5, node.last_spot // 5)
+                g2.last_dir = node.last_dir
+            d, spot = a // 25, a % 25
+            assert g2.is_legal(spot % 5, spot // 5, d)
+
+    def test_html_export(self, tmp_path):
+        book = small_book()
+        out = str(tmp_path / "html")
+        book.export_html(out)
+        assert os.path.exists(os.path.join(out, "index.html"))
+        root_page = os.path.join(out, f"{book.root_key}.html")
+        assert os.path.exists(root_page)
+        text = open(root_page).read()
+        assert "winloss" in text and "<table" in text
