@@ -26,6 +26,8 @@ Training pipeline (shared -base-dir layout):
   loop         full synchronous selfplay->shuffle->train->gate loop
   match        round-robin matches between exported models
   summarize_sgfs  tally SGF results and fit MLE Elos
+  serve        run the contribution HTTP bus (task/model/data server)
+  contribute   volunteer selfplay against a training server
 
 Opening book:
   genbook      expand an opening book with batched search
@@ -142,6 +144,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "evalsgf":
         from katacoffee_tpu.command.evalsgf import main as m
+
+        m(args)
+        return 0
+    if cmd == "contribute":
+        from katacoffee_tpu.distributed.client import main as m
+
+        m(args)
+        return 0
+    if cmd == "serve":
+        from katacoffee_tpu.distributed.client import main_serve as m
 
         m(args)
         return 0

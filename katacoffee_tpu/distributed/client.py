@@ -1,0 +1,153 @@
+"""Contribute client: volunteer selfplay against a training server.
+
+The role of the reference's `Client::Connection` + `MainCmds::contribute`
+(`cpp/distributed/client.h:71-130`, `cpp/command/contribute.cpp:1051-1080`):
+poll the server for a task, download the model if not cached, generate
+selfplay data locally (the batched lockstep actor), upload npz shards and
+SGFs, repeat — with retry/backoff on network errors (core/throttle.h role).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import time
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katacoffee_tpu.dataio.checkpoints import is_complete_model_dir, load_exported_model
+from katacoffee_tpu.dataio.sgf import write_sgf
+from katacoffee_tpu.dataio.trainingwrite import batch_to_arrays
+from katacoffee_tpu.game.board import GameConfig, init_state
+from katacoffee_tpu.search import SearchParams, make_nn_eval_fn, uniform_eval_fn
+from katacoffee_tpu.selfplay import SelfplaySettings, finalize_targets, run_selfplay_segment
+from katacoffee_tpu.utils import Logger
+
+
+class ContributeClient:
+    def __init__(self, server_url: str, cache_dir: str, logger: Logger | None = None,
+                 seed: int = 0, max_retries: int = 5):
+        self.url = server_url.rstrip("/")
+        self.cache_dir = cache_dir
+        self.logger = logger or Logger(log_to_stdout=True)
+        self.rng = jax.random.PRNGKey(seed)
+        self.max_retries = max_retries
+        os.makedirs(cache_dir, exist_ok=True)
+
+    # -- HTTP with retry/backoff (contribute.cpp:1063 throttling role) --
+
+    def _request(self, path: str, data: bytes | None = None) -> bytes:
+        last = None
+        for attempt in range(self.max_retries):
+            try:
+                req = urllib.request.Request(self.url + path, data=data)
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return r.read()
+            except (urllib.error.URLError, OSError, TimeoutError) as e:
+                last = e
+                wait = min(2.0**attempt, 30.0)
+                self.logger.write(f"contribute: {path} failed ({e}); retry in {wait:.0f}s")
+                time.sleep(wait)
+        raise RuntimeError(f"contribute: giving up on {path}: {last}")
+
+    def get_task(self) -> dict:
+        return json.loads(self._request("/api/task").decode())
+
+    def ensure_model(self, name: str) -> str | None:
+        """Download the model into the cache unless present. None = random."""
+        if name == "random":
+            return None
+        model_dir = os.path.join(self.cache_dir, name)
+        if is_complete_model_dir(model_dir):
+            return model_dir
+        os.makedirs(model_dir, exist_ok=True)
+        for fname in ("model.json", "model.npz"):
+            data = self._request(f"/api/model/{name}/{fname}")
+            tmp = os.path.join(model_dir, "." + fname + ".tmp")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(model_dir, fname))
+        self.logger.write(f"contribute: downloaded model {name}")
+        return model_dir
+
+    # -- one work cycle ---------------------------------------------------
+
+    def run_cycle(self, moves_per_segment: int = 64, batch_size: int | None = None) -> int:
+        """Poll a task, play one segment, upload data. Returns rows uploaded."""
+        task = self.get_task()
+        cfg = GameConfig(task["xSize"], task["ySize"], task["winLen"])
+        conf = task.get("config", {})
+        name = task["modelName"]
+        B = batch_size or int(conf.get("numParallelGames", 64))
+        visits = int(conf.get("maxVisits", 600))
+
+        model_dir = self.ensure_model(name)
+        if model_dir is None:
+            eval_fn = uniform_eval_fn(cfg)
+        else:
+            model, params, mcfg, meta = load_exported_model(model_dir)
+            eval_fn = make_nn_eval_fn(cfg, model, params)
+
+        sp = SearchParams.for_selfplay()
+        settings = SelfplaySettings(num_sims=visits)
+        states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))
+        ep = jnp.zeros((B,), jnp.int32)
+        self.rng, k = jax.random.split(self.rng)
+        _, _, traj = jax.jit(
+            lambda s, e, r: run_selfplay_segment(cfg, sp, settings, eval_fn, s, e, r, moves_per_segment)
+        )(states, ep, k)
+        batch = finalize_targets(cfg, settings, traj)
+
+        arrays = batch_to_arrays(batch, cfg)
+        rows = int(arrays["weight"].shape[0])
+        if rows > 0:
+            buf = io.BytesIO()
+            np.savez_compressed(buf, **arrays)
+            self._request(f"/api/games/{name}", data=buf.getvalue())
+        # SGFs of finished episodes
+        from katacoffee_tpu.command.selfplay import extract_episodes
+
+        for moves, winner in extract_episodes(cfg, traj):
+            text = write_sgf(cfg.x_size, cfg.y_size, cfg.win_len, moves, name, name, winner=winner)
+            self._request(f"/api/sgfs/{name}", data=(text + "\n").encode())
+        self.logger.write(f"contribute: uploaded {rows} rows for model {name}")
+        return rows
+
+    def run(self, max_cycles: int | None = None):
+        n = 0
+        while max_cycles is None or n < max_cycles:
+            self.run_cycle()
+            n += 1
+
+
+def main(argv, **kw):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="katacoffee contribute")
+    ap.add_argument("-server", required=True, help="training server URL")
+    ap.add_argument("-cache-dir", default=os.path.expanduser("~/.cache/katacoffee_tpu/models"))
+    ap.add_argument("-max-cycles", type=int, default=None)
+    ap.add_argument("-seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    ContributeClient(args.server, args.cache_dir, seed=args.seed).run(args.max_cycles)
+
+
+def main_serve(argv, **kw):
+    import argparse
+
+    from katacoffee_tpu.distributed.server import ContributionServer
+
+    ap = argparse.ArgumentParser(prog="katacoffee serve")
+    ap.add_argument("-base-dir", required=True)
+    ap.add_argument("-host", default="0.0.0.0")
+    ap.add_argument("-port", type=int, default=8088)
+    args = ap.parse_args(argv)
+    cfg = GameConfig(5, 5, 4)
+    server = ContributionServer(args.base_dir, cfg, host=args.host, port=args.port)
+    print(f"serving contribution bus for {args.base_dir} at {server.url}")
+    server.serve_forever()

@@ -1,0 +1,127 @@
+"""Training-server side of the contribution bus.
+
+Endpoints (the reference client's needs, client.h:95-130, as plain HTTP):
+  GET  /api/task            -> {"run": ..., "modelName": ..., config knobs}
+  GET  /api/model/<name>/model.npz   (and /model.json)
+  POST /api/games/<model>   body = one npz training shard -> stored under
+                            <base>/selfplay/<model>/tdata/
+  POST /api/sgfs/<model>    body = one SGF -> <base>/selfplay/<model>/sgfs/
+
+Uploads use random server-side filenames (multi-contributor safe, the same
+trick as selfplay.cpp:81-84). The server is a thin wrapper over the standard
+base-dir layout, so the local shuffle/train/gatekeeper loop consumes
+contributed data with no changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import secrets
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from katacoffee_tpu.dataio import find_latest_model
+
+MAX_UPLOAD = 256 * 1024 * 1024
+
+
+class ContributionServer:
+    def __init__(self, base_dir: str, cfg, host: str = "127.0.0.1", port: int = 0,
+                 selfplay_config: dict | None = None, run_name: str = "run"):
+        self.base_dir = base_dir
+        self.cfg = cfg
+        self.run_name = run_name
+        self.selfplay_config = selfplay_config or {"maxVisits": 600, "numParallelGames": 64}
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _json(self, code: int, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                parts = [p for p in self.path.split("/") if p]
+                if parts == ["api", "task"]:
+                    model_dir = find_latest_model(os.path.join(outer.base_dir, "models"))
+                    name = os.path.basename(model_dir) if model_dir else "random"
+                    self._json(200, {
+                        "run": outer.run_name,
+                        "modelName": name,
+                        "xSize": outer.cfg.x_size,
+                        "ySize": outer.cfg.y_size,
+                        "winLen": outer.cfg.win_len,
+                        "config": outer.selfplay_config,
+                    })
+                    return
+                if len(parts) == 4 and parts[:2] == ["api", "model"]:
+                    name, fname = parts[2], parts[3]
+                    if fname not in ("model.npz", "model.json") or "/" in name or ".." in name:
+                        self._json(404, {"error": "bad path"})
+                        return
+                    path = os.path.join(outer.base_dir, "models", name, fname)
+                    if not os.path.isfile(path):
+                        self._json(404, {"error": "no such model"})
+                        return
+                    with open(path, "rb") as f:
+                        data = f.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                self._json(404, {"error": "unknown endpoint"})
+
+            def do_POST(self):
+                parts = [p for p in self.path.split("/") if p]
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0 or length > MAX_UPLOAD:
+                    self._json(400, {"error": "bad length"})
+                    return
+                body = self.rfile.read(length)
+                if len(parts) == 3 and parts[0] == "api" and parts[1] in ("games", "sgfs"):
+                    model = parts[2]
+                    if "/" in model or ".." in model or not model:
+                        self._json(400, {"error": "bad model name"})
+                        return
+                    sub = "tdata" if parts[1] == "games" else "sgfs"
+                    ext = ".npz" if parts[1] == "games" else ".sgf"
+                    out_dir = os.path.join(outer.base_dir, "selfplay", model, sub)
+                    os.makedirs(out_dir, exist_ok=True)
+                    name = f"contrib_{secrets.token_hex(8)}{ext}"
+                    tmp = os.path.join(out_dir, "." + name + ".tmp")
+                    with open(tmp, "wb") as f:
+                        f.write(body)
+                    os.replace(tmp, os.path.join(out_dir, name))
+                    self._json(200, {"stored": name})
+                    return
+                self._json(404, {"error": "unknown endpoint"})
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._server.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self):
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._server.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def serve_forever(self):
+        self._server.serve_forever()
