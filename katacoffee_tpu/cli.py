@@ -17,6 +17,7 @@ Core engines:
   analysis     JSON-lines batched analysis engine
   benchmark    visits/s sweep over game-batch sizes
   evalsgf      analyze one SGF position
+  genconfig    generate a GTP config (optionally benchmark-tuned)
 
 Training pipeline (shared -base-dir layout):
   selfplay     training-data generation daemon
@@ -144,6 +145,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "evalsgf":
         from katacoffee_tpu.command.evalsgf import main as m
+
+        m(args)
+        return 0
+    if cmd == "genconfig":
+        from katacoffee_tpu.command.genconfig import main as m
 
         m(args)
         return 0
