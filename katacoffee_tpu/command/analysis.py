@@ -264,5 +264,21 @@ class AnalysisEngine:
 
 
 def main(argv, search_params=None, eval_fn_factory=None, **kw):
+    import argparse
+
+    from katacoffee_tpu.program.setup import load_search_params
+    from katacoffee_tpu.utils import ConfigParser
+
+    ap = argparse.ArgumentParser(prog="katacoffee analysis")
+    ap.add_argument("-config", default=None)
+    ap.add_argument("-override-config", default=None)
+    args, _ = ap.parse_known_args(argv)
+
     sp = search_params or SearchParams.for_tests_v2()
+    if args.config or args.override_config:
+        c = ConfigParser(args.config, overrides=args.override_config) if args.config else ConfigParser(text="")
+        if args.override_config and not args.config:
+            c.apply_overrides(args.override_config)
+        sp = load_search_params(c, sp)
+        kw.setdefault("default_visits", c.get_int("maxVisits", 100))
     AnalysisEngine(sp, eval_fn_factory, **kw).run()

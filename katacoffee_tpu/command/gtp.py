@@ -402,8 +402,29 @@ class GTPEngine:
 
 
 def main(argv: list[str], cfg=None, search_params=None, eval_fn=None, **kw):
-    """Entry for `katacoffee gtp` (see cli.py for config plumbing)."""
-    cfg = cfg or GameConfig(5, 5, 4)
+    """Entry for `katacoffee gtp`: -config/-override-config map to game
+    config + SearchParams via program/setup.py (Setup::loadParams role)."""
+    import argparse
+
+    from katacoffee_tpu.program.setup import load_game_config, load_search_params
+    from katacoffee_tpu.utils import ConfigParser, Logger
+
+    ap = argparse.ArgumentParser(prog="katacoffee gtp")
+    ap.add_argument("-config", default=None)
+    ap.add_argument("-override-config", default=None)
+    args, _ = ap.parse_known_args(argv)
+
     sp = search_params or SearchParams.for_tests_v2()
-    eng = GTPEngine(cfg, sp, eval_fn, **kw)
+    max_visits = kw.pop("max_visits", 100)
+    if args.config or args.override_config:
+        c = ConfigParser(args.config, overrides=args.override_config) if args.config else ConfigParser(text="")
+        if args.override_config and not args.config:
+            c.apply_overrides(args.override_config)
+        cfg = cfg or load_game_config(c)
+        sp = load_search_params(c, sp)
+        max_visits = c.get_int("maxVisits", max_visits)
+        c.get_bool("logToStdoutInsteadOfFile", False)  # accepted for compat
+        c.warn_unused(Logger(log_to_stderr=True))
+    cfg = cfg or GameConfig(5, 5, 4)
+    eng = GTPEngine(cfg, sp, eval_fn, max_visits=max_visits, **kw)
     eng.run()

@@ -87,6 +87,9 @@ class SelfplayConfig:
     max_segments: int | None = None  # None = run forever
     max_rows: int | None = None
     seed: int = 0
+    # shard the game batch over all visible devices (P2 at pod scale);
+    # the jitted segment then runs SPMD with no cross-game communication
+    use_mesh: bool = True
 
 
 def run_selfplay_daemon(
@@ -108,6 +111,14 @@ def run_selfplay_daemon(
     settings = SelfplaySettings(num_sims=spc.num_sims)
     states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(spc.batch_size))
     ep = jnp.zeros((spc.batch_size,), jnp.int32)
+    n_dev = len(jax.devices())
+    if spc.use_mesh and n_dev > 1 and spc.batch_size % n_dev == 0:
+        from katacoffee_tpu.parallel import make_data_mesh, shard_leading_axis
+
+        mesh = make_data_mesh()
+        states = shard_leading_axis(mesh, states)
+        ep = shard_leading_axis(mesh, ep)
+        logger.write(f"selfplay: game batch sharded over {n_dev} devices")
 
     segment_fn = None
     writer = None

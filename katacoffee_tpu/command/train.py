@@ -43,6 +43,9 @@ class TrainerConfig:
     max_steps: int | None = None
     max_epochs_per_data: int = 8  # reference loop's ≤8 passes/row (synchronous_loop.sh:66)
     seed: int = 0
+    # data-parallel over all visible devices when the batch divides evenly
+    # (the torch-DDP/NCCL role, SURVEY.md §2.8 P5)
+    use_mesh: bool = True
 
 
 def _batch_iterator(shuffled_dir: str, batch_size: int, rng: np.random.Generator):
@@ -98,7 +101,20 @@ def run_training(
         start_step = int(meta.get("train_step", int(state.step)))
         logger.write(f"train: resumed from step {start_step}")
 
-    step_fn = make_train_step(model, cfg, tc, batch_size=trc.batch_size)
+    n_dev = len(jax.devices())
+    shard_batch = None
+    if trc.use_mesh and n_dev > 1 and trc.batch_size % n_dev == 0:
+        from katacoffee_tpu.parallel import make_data_mesh
+        from katacoffee_tpu.train import make_sharded_train_step
+
+        mesh = make_data_mesh()
+        step_fn, shard_batch, place_state = make_sharded_train_step(
+            model, cfg, tc, batch_size=trc.batch_size, mesh=mesh
+        )
+        state = place_state(state)
+        logger.write(f"train: data-parallel over {n_dev} devices")
+    else:
+        step_fn = make_train_step(model, cfg, tc, batch_size=trc.batch_size)
     rng = np.random.default_rng(trc.seed + start_step)
     key = jax.random.PRNGKey(trc.seed + 1)
 
@@ -115,6 +131,8 @@ def run_training(
         if epoch >= trc.max_epochs_per_data:
             break
         key, k = jax.random.split(key)
+        if shard_batch is not None:
+            batch = shard_batch(batch)
         state, metrics = step_fn(state, batch, k)
         steps += 1
         gstep = start_step + steps
