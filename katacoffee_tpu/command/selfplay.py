@@ -90,6 +90,10 @@ class SelfplayConfig:
     # shard the game batch over all visible devices (P2 at pod scale);
     # the jitted segment then runs SPMD with no cross-game communication
     use_mesh: bool = True
+    # start-position SGFs (startPosesFromSgfDir / startPosesProb)
+    startposes_dir: str | None = None
+    startposes_prob: float = 0.0
+    startposes_turn_weight_lambda: float = 0.0
 
 
 def run_selfplay_daemon(
@@ -108,7 +112,26 @@ def run_selfplay_daemon(
     eval_fn = uniform_eval_fn(cfg)
     model_name = "random"
 
-    settings = SelfplaySettings(num_sims=spc.num_sims)
+    startpos_pool = None
+    startposes_prob = 0.0
+    if spc.startposes_dir and spc.startposes_prob > 0.0:
+        from katacoffee_tpu.selfplay.startposes import load_startposes
+
+        loaded = load_startposes(
+            cfg, spc.startposes_dir,
+            turn_weight_lambda=spc.startposes_turn_weight_lambda,
+        )
+        if loaded is not None:
+            startpos_pool = (loaded[0], jnp.asarray(loaded[1]))
+            startposes_prob = spc.startposes_prob
+            logger.write(
+                f"selfplay: loaded {loaded[1].shape[0]} start positions "
+                f"from {spc.startposes_dir}"
+            )
+        else:
+            logger.write(f"selfplay: no usable start positions in {spc.startposes_dir}")
+
+    settings = SelfplaySettings(num_sims=spc.num_sims, startposes_prob=startposes_prob)
     states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(spc.batch_size))
     ep = jnp.zeros((spc.batch_size,), jnp.int32)
     n_dev = len(jax.devices())
@@ -138,7 +161,10 @@ def run_selfplay_daemon(
         ev = eval_fn
 
         def seg_fn(s, e, r):
-            return run_selfplay_segment(cfg, sp, settings, ev, s, e, r, spc.moves_per_segment)
+            return run_selfplay_segment(
+                cfg, sp, settings, ev, s, e, r, spc.moves_per_segment,
+                startpos_pool=startpos_pool,
+            )
 
         segment_fn = jax.jit(seg_fn)
 
@@ -222,6 +248,9 @@ def main(argv, **kw):
         max_segments=c.get_int("maxSegments", 0) or None,
         max_rows=c.get_int("maxRows", 0) or None,
         seed=c.get_int("seed", 0),
+        startposes_dir=c.get_string("startPosesFromSgfDir", "") or None,
+        startposes_prob=c.get_float("startPosesProb", 0.0),
+        startposes_turn_weight_lambda=c.get_float("startPosesTurnWeightLambda", 0.0),
     )
     logger = Logger(log_to_stdout=True)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -63,6 +63,9 @@ class SelfplaySettings:
     # rows whose search outcome surprised the raw policy / raw value.
     policy_surprise_weight: float = 0.5
     value_surprise_weight: float = 0.1
+    # fraction of episodes starting from a startpos_pool position
+    # (startPosesProb, selfplay1.cfg:37)
+    startposes_prob: float = 0.0
     # Tree reuse between moves (beginSearch reuse, search.cpp:262-331):
     # each move's search starts from the played child's subtree and only
     # plays out the visit deficit — reused visits count toward num_sims
@@ -119,9 +122,16 @@ def run_selfplay_segment(
     episode_id: jax.Array,
     rng: jax.Array,
     num_moves: int,
+    startpos_pool: tuple[GameState, jax.Array] | None = None,
 ):
     """Advance B games `num_moves` plies. Returns (new_states, new_episode_id,
-    Trajectory). jit with static cfg/sp/settings/eval_fn/num_moves."""
+    Trajectory). jit with static cfg/sp/settings/eval_fn/num_moves.
+
+    `startpos_pool` = (stacked states [K], sampling probs [K]): with prob
+    `settings.startposes_prob`, a resetting episode begins from a sampled
+    start position instead of the empty board (the reference's startPosesProb
+    game initialization, play.h:69-142; policy-init does not apply to those
+    episodes, selfplay1.cfg:44 semantics)."""
 
     B = states.board.shape[0]
     max_nodes = settings.max_nodes or (settings.num_sims + 2)
@@ -185,8 +195,26 @@ def run_selfplay_segment(
             raw_value=raw_value,
             policy_init=is_init,
         )
-        # auto-reset finished games
+        # auto-reset finished games (optionally from a start position)
         fresh = jax.vmap(lambda _: init_state(cfg))(jnp.arange(st.board.shape[0]))
+        from_startpos = jnp.zeros((B,), bool)
+        if startpos_pool is not None and settings.startposes_prob > 0.0:
+            pool, probs = startpos_pool
+            k_sp1, k_sp2 = jax.random.split(jax.random.fold_in(key, 7))
+            from_startpos = (
+                jax.random.uniform(k_sp1, (B,)) < settings.startposes_prob
+            )
+            idx = jax.random.categorical(
+                k_sp2, jnp.log(jnp.maximum(probs, 1e-30))[None, :].repeat(B, 0)
+            )
+            picked = jax.tree_util.tree_map(lambda x: x[idx], pool)
+            fresh = jax.tree_util.tree_map(
+                lambda f, p: jnp.where(
+                    jnp.reshape(from_startpos, (-1,) + (1,) * (f.ndim - 1)), p, f
+                ),
+                fresh,
+                picked,
+            )
         new_st = jax.tree_util.tree_map(
             lambda n, f: jnp.where(
                 jnp.reshape(nxt.done, (-1,) + (1,) * (n.ndim - 1)), f, n
@@ -195,8 +223,11 @@ def run_selfplay_segment(
             fresh,
         )
         new_ep = ep + nxt.done.astype(jnp.int32)
+        # policy-init does not apply to startpos episodes
         new_init_left = jnp.where(
-            nxt.done, sample_init_len(k_init_len), jnp.maximum(init_left - 1, 0)
+            nxt.done,
+            jnp.where(from_startpos, 0, sample_init_len(k_init_len)),
+            jnp.maximum(init_left - 1, 0),
         )
         if settings.tree_reuse:
             # next move reuses the played child's subtree unless the episode
