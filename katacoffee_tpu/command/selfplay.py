@@ -182,7 +182,9 @@ def run_selfplay_daemon(
                     model, params, mcfg, meta = load_exported_model(latest)
                     if mcfg != cfg:
                         raise ValueError(f"model {latest} is for {mcfg}, daemon runs {cfg}")
-                    eval_fn = make_nn_eval_fn(cfg, model, params)
+                    # selfplay evals use random-symmetry randomization like
+                    # the reference (nnRandomize in selfplay configs)
+                    eval_fn = make_nn_eval_fn(cfg, model, params, symmetry_randomize=True)
                     model_name = meta["name"]
                 build_for_model()
                 logger.write(f"selfplay: using model {model_name}")

@@ -228,16 +228,56 @@ def uniform_eval_fn(cfg: GameConfig) -> EvalFn:
     return fn
 
 
-def make_nn_eval_fn(cfg: GameConfig, model, params, policy_optimism: float = 0.0) -> EvalFn:
+def make_nn_eval_fn(
+    cfg: GameConfig,
+    model,
+    params,
+    policy_optimism: float = 0.0,
+    symmetry_randomize: bool = False,
+) -> EvalFn:
     """Wrap a CoffeeNet into an EvalFn: extract features, forward, mask+
     normalize policy over legal moves, reduce value head to utility.
     policyOptimism geometrically interpolates raw and optimistic policy
-    (searchparams.h:30)."""
+    (searchparams.h:30). symmetry_randomize applies a random dihedral
+    symmetry per evaluation and inverts it on the policy — the reference
+    NNEvaluator's nnRandomize (nneval.cpp random symmetry per eval), which
+    decorrelates eval bias across the search."""
 
     def fn(states: GameState, rng: jax.Array) -> EvalResult:
         spatial, glob = jax.vmap(functools.partial(extract_features, cfg))(states)
+        if symmetry_randomize:
+            from katacoffee_tpu.game import symmetry as S
+
+            B = spatial.shape[0]
+            syms = jax.random.randint(rng, (B,), 0, S.NUM_SYMMETRIES)
+
+            def fwd_row(sym, sp_r):
+                return jax.lax.switch(
+                    sym,
+                    [lambda x, s=s: S.apply_features(s, x) for s in range(S.NUM_SYMMETRIES)],
+                    sp_r,
+                )
+
+            spatial = jax.vmap(fwd_row)(syms, spatial)
         out = model.apply(params, spatial, glob)
         logits = out["policy_logits"]
+        if symmetry_randomize:
+            from katacoffee_tpu.game import symmetry as S
+
+            def inv_row(sym, pol):
+                return jax.lax.switch(
+                    sym,
+                    [
+                        lambda p, s=s: S.apply_policy(cfg, S.invert(s), p)
+                        for s in range(S.NUM_SYMMETRIES)
+                    ],
+                    pol,
+                )
+
+            logits = jax.vmap(inv_row)(syms, logits)
+            out["optimistic_policy_logits"] = jax.vmap(inv_row)(
+                syms, out["optimistic_policy_logits"]
+            )
         if policy_optimism > 0.0:
             logits = (1.0 - policy_optimism) * logits + policy_optimism * out[
                 "optimistic_policy_logits"
