@@ -105,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         ap.add_argument("-expand-window-per-row", type=float, default=0.4)
         ap.add_argument("-taper-window-exponent", type=float, default=0.65)
         ap.add_argument("-keep-target-rows", type=int, default=None)
+        ap.add_argument("-val-prop", type=float, default=0.0)
         ap.add_argument("-seed", type=int, default=None)
         a = ap.parse_args(args)
         stats = shuffle_data(
@@ -114,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
             expand_window_per_row=a.expand_window_per_row,
             taper_window_exponent=a.taper_window_exponent,
             keep_target_rows=a.keep_target_rows,
+            val_prop=a.val_prop,
             seed=a.seed,
         )
         print(stats)

@@ -41,6 +41,7 @@ class LoopConfig:
     gate_visits: int = 100
     use_gatekeeper: bool = True
     shuffle_min_rows: int = 50000
+    val_prop: float = 0.05
     seed: int = 0
 
 
@@ -74,6 +75,7 @@ def run_loop(base_dir: str, cfg: GameConfig, lc: LoopConfig, logger: Logger | No
             os.path.join(base_dir, "shuffleddata"),
             min_rows=lc.shuffle_min_rows,
             seed=lc.seed + cycle,
+            val_prop=lc.val_prop,
         )
         logger.write(f"shuffle: {stats}")
 

@@ -89,6 +89,8 @@ def run_training(
     train_dir = os.path.join(base_dir, "train", run_name)
     os.makedirs(train_dir, exist_ok=True)
     metrics_path = os.path.join(train_dir, "metrics_train.json")
+    metrics_val_path = os.path.join(train_dir, "metrics_val.json")
+    val_dir = os.path.join(shuffled_dir, "val")
     ckpt_path = os.path.join(train_dir, "checkpoint.ckpt")
 
     model = CoffeeNet(get_model_spec(trc.model), win_len=cfg.win_len)
@@ -148,13 +150,52 @@ def run_training(
             )
         if steps % trc.checkpoint_every == 0:
             save_checkpoint(ckpt_path, state, extra={"train_step": gstep})
+            _val_metrics(model, cfg, state, val_dir, trc, metrics_val_path, gstep, logger)
         if steps % trc.steps_per_export == 0:
             _export(base_dir, export_to, run_name, gstep, state, trc, cfg, logger)
 
     save_checkpoint(ckpt_path, state, extra={"train_step": start_step + steps})
+    _val_metrics(model, cfg, state, val_dir, trc, metrics_val_path, start_step + steps, logger)
     _export(base_dir, export_to, run_name, start_step + steps, state, trc, cfg, logger)
     mfile.close()
     return steps
+
+
+def _val_metrics(model, cfg, state, val_dir, trc, metrics_val_path, gstep, logger,
+                 max_rows: int = 4096):
+    """Evaluate the current params on the held-out shuffle split and append a
+    JSON line (metrics_val_rank*.json role, train.py:880-886)."""
+    if not os.path.isdir(val_dir):
+        return
+    shards = list(iter_shards(val_dir))
+    if not shards:
+        return
+    from katacoffee_tpu.train import compute_losses
+
+    totals: dict[str, float] = {}
+    wsum = 0.0
+    rows = 0
+    loss_fn = jax.jit(lambda p, b: compute_losses(cfg, model, p, b)[1])
+    for s in shards:
+        batch = rows_to_batch(read_npz_rows(s), cfg)
+        n = int(batch.weight.shape[0])
+        if n == 0:
+            continue
+        m = loss_fn(state.params, batch)
+        w = float(m["weight_sum"])
+        for k2, v in m.items():
+            totals[k2] = totals.get(k2, 0.0) + float(v) * (w if k2 != "weight_sum" else 1.0)
+        wsum += w
+        rows += n
+        if rows >= max_rows:
+            break
+    if wsum <= 0:
+        return
+    out = {k2: (v / wsum if k2 != "weight_sum" else v) for k2, v in totals.items()}
+    out.update(step=gstep, rows=rows, time=time.time())
+    with open(metrics_val_path, "a") as f:
+        f.write(json.dumps(out) + "\n")
+    logger.write(f"train: val loss {out['loss']:.4f} on {rows} rows")
 
 
 def _export(base_dir, export_to, run_name, gstep, state, trc, cfg, logger):

@@ -56,9 +56,12 @@ def shuffle_data(
     chunk_rows: int = 65536,
     seed: int | None = None,
     add_to_data_rows: int = 0,
+    val_prop: float = 0.0,
 ) -> dict:
     """Shuffle the most recent window of rows from `data_dirs` into chunk
-    files under `out_dir`. Returns summary stats."""
+    files under `out_dir`. With val_prop > 0, that fraction of the shuffled
+    rows is held out into `<out_dir>/val/` for validation metrics (the
+    reference shuffler's train/val split). Returns summary stats."""
     shards: list[tuple[float, str, int]] = []  # (mtime, path, rows)
     total = 0
     for d in data_dirs:
@@ -113,16 +116,31 @@ def shuffle_data(
     merged = {k: v[perm] for k, v in merged.items()}
     n_out = perm.shape[0]
 
+    n_val = int(n_out * val_prop)
     run_id = secrets.token_hex(6)
-    chunks = 0
-    for start in range(0, n_out, chunk_rows):
-        out = {k: v[start : start + chunk_rows] for k, v in merged.items()}
-        out.update(meta)
-        name = f"shuffled_{run_id}_{chunks:05d}.npz"
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
-        with open(tmp, "wb") as f:
-            np.savez_compressed(f, **out)
-        os.replace(tmp, os.path.join(out_dir, name))
-        chunks += 1
 
-    return {"total_rows": total, "window": window, "rows_out": n_out, "chunks": chunks}
+    def write_chunks(dest: str, lo: int, hi: int) -> int:
+        os.makedirs(dest, exist_ok=True)
+        count = 0
+        for start in range(lo, hi, chunk_rows):
+            out = {k: v[start : min(start + chunk_rows, hi)] for k, v in merged.items()}
+            out.update(meta)
+            name = f"shuffled_{run_id}_{count:05d}.npz"
+            tmp = os.path.join(dest, "." + name + ".tmp")
+            with open(tmp, "wb") as f:
+                np.savez_compressed(f, **out)
+            os.replace(tmp, os.path.join(dest, name))
+            count += 1
+        return count
+
+    chunks = write_chunks(out_dir, n_val, n_out)
+    val_chunks = write_chunks(os.path.join(out_dir, "val"), 0, n_val) if n_val else 0
+
+    return {
+        "total_rows": total,
+        "window": window,
+        "rows_out": n_out - n_val,
+        "val_rows": n_val,
+        "chunks": chunks,
+        "val_chunks": val_chunks,
+    }
