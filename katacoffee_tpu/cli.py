@@ -18,6 +18,8 @@ Core engines:
   benchmark    visits/s sweep over game-batch sizes
   evalsgf      analyze one SGF position
   genconfig    generate a GTP config (optionally benchmark-tuned)
+  demoplay     watch the engine play itself
+  samplesgfs   sample SGF positions into a startposes dir
 
 Training pipeline (shared -base-dir layout):
   selfplay     training-data generation daemon
@@ -147,6 +149,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "evalsgf":
         from katacoffee_tpu.command.evalsgf import main as m
+
+        m(args)
+        return 0
+    if cmd == "demoplay":
+        from katacoffee_tpu.command.misc import main_demoplay as m
+
+        m(args)
+        return 0
+    if cmd == "samplesgfs":
+        from katacoffee_tpu.command.misc import main_samplesgfs as m
 
         m(args)
         return 0
