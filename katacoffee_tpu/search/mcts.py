@@ -486,9 +486,62 @@ def _tree_from_root_eval(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _sym_action_table(cfg: GameConfig):
+    """[8, A] int32: each action's image under each dihedral symmetry
+    (pure numpy — jnp ops would trace; this runs inside jit tracing)."""
+    from katacoffee_tpu.game import symmetry as S
+
+    A = cfg.policy_size
+    area = cfg.area
+    table = np.zeros((S.NUM_SYMMETRIES, A), np.int32)
+    for s in range(S.NUM_SYMMETRIES):
+        dperm = S.dir_perm(s)
+        for a in range(A):
+            d, spot = a // area, a % area
+            x, y = spot % cfg.x_size, spot // cfg.x_size
+            if S.is_flip_x(s):
+                x = cfg.x_size - 1 - x
+            if S.is_flip_y(s):
+                y = cfg.y_size - 1 - y
+            if S.is_transpose(s):
+                x, y = y, x
+            table[s, a] = dperm[d] * area + y * cfg.x_size + x
+    return table
+
+
+def _root_symmetry_prune(cfg: GameConfig, states: GameState, prior: jax.Array) -> jax.Array:
+    """rootSymmetryPruning (gtp_example.cfg:243): for each game, find the
+    symmetries that stabilize the root position and mask every legal move
+    that is not the minimal action in its orbit — symmetric duplicates get
+    no visits, concentrating search (8× on the empty board)."""
+    from katacoffee_tpu.game import symmetry as S
+
+    B = prior.shape[0]
+    table = jnp.asarray(_sym_action_table(cfg))  # [8, A]
+    stab = []
+    for s in range(S.NUM_SYMMETRIES):
+        ts = jax.vmap(lambda st, s=s: S.apply_state(cfg, s, st).board)(states)
+        same_board = (ts == states.board).all(axis=(-1, -2))
+        spot_t = jax.vmap(lambda st, s=s: S.apply_spot(cfg, s, jnp.maximum(st.last_spot, 0)))(states)
+        dir_t = jax.vmap(lambda st, s=s: S.apply_direction(s, jnp.minimum(st.last_dir, 3)))(states)
+        no_last = states.last_spot < 0
+        same_last = no_last | ((spot_t == states.last_spot) & (dir_t == states.last_dir))
+        stab.append(same_board & same_last)
+    stab = jnp.stack(stab, axis=1)  # [B, 8]; identity always True
+
+    A = prior.shape[-1]
+    big = jnp.asarray(A, jnp.int32)
+    imgs = jnp.where(stab[:, :, None], table[None, :, :], big)  # [B, 8, A]
+    min_img = imgs.min(axis=1)  # [B, A]
+    canonical = min_img >= jnp.arange(A)[None, :]
+    return jnp.where(canonical, prior, -1.0)
+
+
 def _make_root_prior(cfg, sp: SearchParams, policy, legal, root_states, k_noise, turn_number):
     """Root policy temperature (early-game interpolated) + Dirichlet noise
-    (searchhelpers.cpp maybeAddPolicyNoiseAndTemp)."""
+    (searchhelpers.cpp maybeAddPolicyNoiseAndTemp), plus optional root
+    symmetry pruning."""
     if turn_number is None:
         turn_number = root_states.num_turns.astype(jnp.float32)
     else:
@@ -508,7 +561,10 @@ def _make_root_prior(cfg, sp: SearchParams, policy, legal, root_states, k_noise,
     if sp.rootNoiseEnabled:
         policy = _add_dirichlet_noise(sp, k_noise, policy, legal)
 
-    return jnp.where(legal, policy, -1.0)
+    out = jnp.where(legal, policy, -1.0)
+    if sp.rootSymmetryPruning:
+        out = _root_symmetry_prune(cfg, root_states, out)
+    return out
 
 
 def _add_dirichlet_noise(sp, rng, policy, legal):
