@@ -102,11 +102,27 @@ def run_selfplay_daemon(
     sp: SearchParams,
     spc: SelfplayConfig,
     logger: Logger | None = None,
+    install_signal_handlers: bool = False,
 ):
-    """Main daemon loop. Returns total rows written."""
+    """Main daemon loop. Returns total rows written.
+
+    With install_signal_handlers (the CLI daemon path), SIGINT/SIGTERM stop
+    the loop after the current segment and flush pending data — the
+    reference's shutdown flush (selfplay.cpp:22-31,129-132)."""
     logger = logger or Logger(log_to_stdout=True)
     models_dir = os.path.join(base_dir, "models")
     rng = jax.random.PRNGKey(spc.seed)
+
+    stop_requested = {"flag": False}
+    if install_signal_handlers:
+        import signal
+
+        def _handler(signum, frame):
+            logger.write(f"selfplay: signal {signum}, flushing and stopping")
+            stop_requested["flag"] = True
+
+        signal.signal(signal.SIGINT, _handler)
+        signal.signal(signal.SIGTERM, _handler)
 
     current_model_dir = None
     eval_fn = uniform_eval_fn(cfg)
@@ -219,6 +235,8 @@ def run_selfplay_daemon(
             break
         if spc.max_rows is not None and total_rows >= spc.max_rows:
             break
+        if stop_requested["flag"]:
+            break
 
     writer.flush()
     return total_rows
@@ -258,4 +276,6 @@ def main(argv, **kw):
     os.makedirs(args.output_dir, exist_ok=True)
     logger.add_file(os.path.join(args.output_dir, "selfplay.log"))
     c.warn_unused(logger)
-    run_selfplay_daemon(args.output_dir, cfg, sp, spc, logger)
+    run_selfplay_daemon(
+        args.output_dir, cfg, sp, spc, logger, install_signal_handlers=True
+    )

@@ -46,7 +46,16 @@ class SelfplaySettings:
     playsettings.h:6-94)."""
 
     num_sims: int = 100
-    max_nodes: int | None = None  # default num_sims + 2
+    max_nodes: int | None = None  # default node_budget_frac * num_sims
+    # Selfplay node budget: with tree reuse + transpositions + terminal
+    # revisits, searches rarely allocate a full num_sims of nodes, and the
+    # per-level one-hot einsum cost scales with the node capacity N.
+    # 0.64×visits measured +33% visits/s at the 600-visit op point with
+    # move-choice agreement within seed noise (57.8% vs a 59.4%
+    # seed-to-seed baseline under root Dirichlet noise) and root values
+    # within 0.01. Overflowing playouts revisit their leaf (the same
+    # graceful degradation as a full memory-capped reference tree).
+    node_budget_frac: float = 0.64
     # TD lambdas, from the reference's boardArea-scaled formulas
     # (trainingwrite.h:141-146): lambda = 1 - 1/(1 + boardArea * c)
     td_coeffs: tuple = (0.176, 0.056, 0.016)
@@ -134,7 +143,7 @@ def run_selfplay_segment(
     episodes, selfplay1.cfg:44 semantics)."""
 
     B = states.board.shape[0]
-    max_nodes = settings.max_nodes or (settings.num_sims + 2)
+    max_nodes = settings.max_nodes or max(64, int(settings.num_sims * settings.node_budget_frac) + 2)
 
     def sample_init_len(key):
         """~Exponential()·area·prop opening moves (playutils.cpp:160-161)."""
