@@ -20,6 +20,7 @@ Core engines:
   genconfig    generate a GTP config (optionally benchmark-tuned)
   demoplay     watch the engine play itself
   samplesgfs   sample SGF positions into a startposes dir
+  dataminesgfs mine surprising positions from SGFs via batched search
 
 Training pipeline (shared -base-dir layout):
   selfplay     training-data generation daemon
@@ -159,6 +160,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "samplesgfs":
         from katacoffee_tpu.command.misc import main_samplesgfs as m
+
+        m(args)
+        return 0
+    if cmd == "dataminesgfs":
+        from katacoffee_tpu.command.misc import main_dataminesgfs as m
 
         m(args)
         return 0

@@ -52,6 +52,125 @@ def main_demoplay(argv, **kw):
         print(f"result: {res} after {len(eng.move_history)} moves")
 
 
+def main_dataminesgfs(argv, **kw):
+    """Search-filtered position mining (the reference's dataminesgfs,
+    misc.cpp:1184): batch-search sampled SGF positions and keep the
+    "interesting" ones — where the search's preferred move disagrees with
+    the game's move, or the position is sharply winning/losing — as
+    hintpos-style startposes. All candidate positions of a batch are
+    evaluated in ONE batched search call."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from katacoffee_tpu.dataio.sgf import parse_sgf_file, write_sgf
+    from katacoffee_tpu.game.board import GameConfig, init_state, step
+    from katacoffee_tpu.search import (
+        SearchParams,
+        make_nn_eval_fn,
+        root_visit_counts,
+        root_values,
+        run_search,
+        uniform_eval_fn,
+    )
+
+    ap = argparse.ArgumentParser(prog="katacoffee dataminesgfs")
+    ap.add_argument("sgf_dirs", nargs="+")
+    ap.add_argument("-out-dir", required=True)
+    ap.add_argument("-model", default=None)
+    ap.add_argument("-visits", type=int, default=200)
+    ap.add_argument("-batch-size", type=int, default=64)
+    ap.add_argument("-sample-prob", type=float, default=0.25)
+    ap.add_argument("-max-positions", type=int, default=512)
+    ap.add_argument("-surprise-threshold", type=float, default=0.5,
+                    help="keep if the game move got < this fraction of the search's top-move visits")
+    ap.add_argument("-seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    cfg = GameConfig(5, 5, 4)
+    if args.model:
+        from katacoffee_tpu.dataio.checkpoints import load_exported_model
+
+        model, params, cfg, meta = load_exported_model(args.model)
+        eval_fn = make_nn_eval_fn(cfg, model, params)
+    else:
+        eval_fn = uniform_eval_fn(cfg)
+
+    rnd = random.Random(args.seed)
+    step1 = jax.jit(lambda s, a: step(cfg, s, a))
+
+    # collect candidate (position, game-move) pairs
+    cands = []  # (state, game_action, source)
+    for d in args.sgf_dirs:
+        for root, _dirs, files in os.walk(d):
+            for name in sorted(files):
+                if not name.endswith(".sgf") or len(cands) >= args.max_positions:
+                    continue
+                try:
+                    sgf = parse_sgf_file(os.path.join(root, name))
+                except (ValueError, OSError):
+                    continue
+                if sgf.board_size() != (cfg.x_size, cfg.y_size):
+                    continue
+                s = init_state(cfg)
+                for t, (x, y, dd, _pla) in enumerate(sgf.moves()):
+                    a = dd * cfg.area + y * cfg.x_size + x
+                    if t >= 1 and not bool(s.done) and rnd.random() < args.sample_prob:
+                        cands.append((s, a, f"{name}:{t}"))
+                    s = step1(s, jnp.asarray(a, jnp.int32))
+                    if bool(s.done):
+                        break
+    if not cands:
+        print("no candidate positions found")
+        return
+
+    sp = SearchParams.for_tests_v2()
+    os.makedirs(args.out_dir, exist_ok=True)
+    kept = 0
+    Bsz = args.batch_size
+    search = jax.jit(lambda r, k: run_search(cfg, sp, eval_fn, r, args.visits, k))
+    key = jax.random.PRNGKey(args.seed)
+    for lo in range(0, len(cands), Bsz):
+        batch = cands[lo : lo + Bsz]
+        pad = batch + [batch[-1]] * (Bsz - len(batch))
+        roots = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[c[0] for c in pad]
+        )
+        key, k = jax.random.split(key)
+        tree = search(roots, k)
+        rv = np.asarray(root_visit_counts(tree))
+        wl = np.asarray(root_values(tree)["root_wl"])
+        for i, (state, game_a, src) in enumerate(batch):
+            top = rv[i].max()
+            surprising = rv[i][game_a] < args.surprise_threshold * top
+            sharp = abs(wl[i]) > 0.9
+            if not (surprising or sharp):
+                continue
+            board = np.asarray(state.board)
+            placements = [
+                (x, y, int(board[y, x]))
+                for y in range(cfg.y_size)
+                for x in range(cfg.x_size)
+                if board[y, x] != 0
+            ]
+            text = write_sgf(
+                cfg.x_size, cfg.y_size, cfg.win_len, [], "mined", "mined",
+                placements=placements,
+                root_comment=(
+                    f"src={src},searchBest={int(np.argmax(rv[i]))},"
+                    f"gameMove={game_a},rootWL={wl[i]:+.3f},"
+                    f"toMove={int(state.to_move)},lastSpot={int(state.last_spot)},"
+                    f"lastDir={int(state.last_dir)}"
+                ),
+            )
+            with open(os.path.join(args.out_dir, f"hint{kept:06d}.sgf"), "w") as f:
+                f.write(text + "\n")
+            kept += 1
+    print(f"mined {kept} interesting positions from {len(cands)} candidates into {args.out_dir}")
+
+
 def main_samplesgfs(argv, **kw):
     import argparse
 
