@@ -42,7 +42,7 @@ def _canonical_key(cfg: GameConfig, state: GameState) -> tuple[str, int]:
     """(canonical hash hex, symmetry mapping state->canonical)."""
     best = None
     best_sym = 0
-    for sym in range(S.NUM_SYMMETRIES):
+    for sym in range(S.num_symmetries(cfg)):
         st = S.apply_state(cfg, sym, state)
         h = np.asarray(situation_hash(cfg, st))
         key = f"{int(h[0]):08x}{int(h[1]):08x}"

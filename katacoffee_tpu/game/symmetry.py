@@ -31,6 +31,13 @@ from katacoffee_tpu.game.board import (
 NUM_SYMMETRIES = 8
 
 
+def num_symmetries(cfg: GameConfig) -> int:
+    """Usable dihedral symmetries for this board: 8 when square, 4 on
+    rectangles (the transpose bit, syms 4-7, requires x_size == y_size —
+    SymmetryHelpers does the same gating in the reference)."""
+    return NUM_SYMMETRIES if cfg.x_size == cfg.y_size else 4
+
+
 def is_flip_y(sym: int) -> bool:
     return (sym & 1) != 0
 

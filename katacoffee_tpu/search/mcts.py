@@ -249,12 +249,13 @@ def make_nn_eval_fn(
             from katacoffee_tpu.game import symmetry as S
 
             B = spatial.shape[0]
-            syms = jax.random.randint(rng, (B,), 0, S.NUM_SYMMETRIES)
+            nsym = S.num_symmetries(cfg)
+            syms = jax.random.randint(rng, (B,), 0, nsym)
 
             def fwd_row(sym, sp_r):
                 return jax.lax.switch(
                     sym,
-                    [lambda x, s=s: S.apply_features(s, x) for s in range(S.NUM_SYMMETRIES)],
+                    [lambda x, s=s: S.apply_features(s, x) for s in range(nsym)],
                     sp_r,
                 )
 
@@ -269,7 +270,7 @@ def make_nn_eval_fn(
                     sym,
                     [
                         lambda p, s=s: S.apply_policy(cfg, S.invert(s), p)
-                        for s in range(S.NUM_SYMMETRIES)
+                        for s in range(nsym)
                     ],
                     pol,
                 )
@@ -494,8 +495,9 @@ def _sym_action_table(cfg: GameConfig):
 
     A = cfg.policy_size
     area = cfg.area
-    table = np.zeros((S.NUM_SYMMETRIES, A), np.int32)
-    for s in range(S.NUM_SYMMETRIES):
+    nsym = S.num_symmetries(cfg)
+    table = np.zeros((nsym, A), np.int32)
+    for s in range(nsym):
         dperm = S.dir_perm(s)
         for a in range(A):
             d, spot = a // area, a % area
@@ -518,9 +520,9 @@ def _root_symmetry_prune(cfg: GameConfig, states: GameState, prior: jax.Array) -
     from katacoffee_tpu.game import symmetry as S
 
     B = prior.shape[0]
-    table = jnp.asarray(_sym_action_table(cfg))  # [8, A]
+    table = jnp.asarray(_sym_action_table(cfg))  # [nsym, A]
     stab = []
-    for s in range(S.NUM_SYMMETRIES):
+    for s in range(S.num_symmetries(cfg)):
         ts = jax.vmap(lambda st, s=s: S.apply_state(cfg, s, st).board)(states)
         same_board = (ts == states.board).all(axis=(-1, -2))
         spot_t = jax.vmap(lambda st, s=s: S.apply_spot(cfg, s, jnp.maximum(st.last_spot, 0)))(states)
@@ -528,7 +530,7 @@ def _root_symmetry_prune(cfg: GameConfig, states: GameState, prior: jax.Array) -
         no_last = states.last_spot < 0
         same_last = no_last | ((spot_t == states.last_spot) & (dir_t == states.last_dir))
         stab.append(same_board & same_last)
-    stab = jnp.stack(stab, axis=1)  # [B, 8]; identity always True
+    stab = jnp.stack(stab, axis=1)  # [B, nsym]; identity always True
 
     A = prior.shape[-1]
     big = jnp.asarray(A, jnp.int32)

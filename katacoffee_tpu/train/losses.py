@@ -56,11 +56,12 @@ def compute_losses(cfg: GameConfig, model, params, batch: TrainingBatch, symmetr
         from katacoffee_tpu.game import symmetry as S
 
         R = spatial.shape[0]
-        syms = jax.random.randint(symmetrize_rng, (R,), 0, S.NUM_SYMMETRIES)
+        nsym = S.num_symmetries(cfg)
+        syms = jax.random.randint(symmetrize_rng, (R,), 0, nsym)
 
         def sym_row(sym, sp_r, pt, opp, own, fut, ln):
             branches = []
-            for s in range(S.NUM_SYMMETRIES):
+            for s in range(nsym):
                 branches.append(
                     lambda sp_r, pt, opp, own, fut, ln, s=s: (
                         S.apply_features(s, sp_r),
