@@ -1,7 +1,10 @@
 from katacoffee_tpu.search.params import SearchParams
 from katacoffee_tpu.search.mcts import (
     Tree,
+    EvalResult,
+    advance_root,
     init_tree,
+    policy_target,
     run_search,
     root_visit_counts,
     root_values,
@@ -9,3 +12,4 @@ from katacoffee_tpu.search.mcts import (
     uniform_eval_fn,
     make_nn_eval_fn,
 )
+from katacoffee_tpu.search.timecontrols import TimeControls, visits_for_time

@@ -5,3 +5,4 @@ from katacoffee_tpu.selfplay.actor import (
     run_selfplay_segment,
     finalize_targets,
 )
+from katacoffee_tpu.selfplay.startposes import load_startposes
