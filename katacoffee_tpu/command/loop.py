@@ -34,6 +34,8 @@ class LoopConfig:
     rows_per_cycle: int = 20000
     selfplay_batch: int = 256
     selfplay_visits: int = 600
+    moves_per_segment: int = 16  # keep single device calls short (tunnels
+    # and runtimes can watchdog-kill executions beyond ~20s)
     train_steps_per_cycle: int = 300
     train_batch: int = 128
     model: str = "b6c96"
@@ -57,6 +59,7 @@ def run_loop(base_dir: str, cfg: GameConfig, lc: LoopConfig, logger: Logger | No
         spc = SelfplayConfig(
             batch_size=lc.selfplay_batch,
             num_sims=lc.selfplay_visits,
+            moves_per_segment=lc.moves_per_segment,
             max_rows=lc.rows_per_cycle,
             seed=lc.seed + cycle,
         )

@@ -80,7 +80,12 @@ def extract_episodes(cfg: GameConfig, traj: Trajectory) -> list[tuple[list, int]
 class SelfplayConfig:
     batch_size: int = 256
     num_sims: int = 600  # reference training op-point (selfplay1.cfg:84)
-    moves_per_segment: int = 64
+    moves_per_segment: int = 16  # plies per DEVICE CALL (keep calls < ~20s;
+    # tunnels/runtimes can watchdog-kill longer executions)
+    segments_per_flush: int = 4  # segments concatenated per finalize window:
+    # rows of episodes that do not finish inside a window get weight 0, so
+    # the window (moves_per_segment × segments_per_flush) should be ≥ 2-3×
+    # the typical game length for good data yield
     max_rows_per_file: int = 65536
     poll_every_segments: int = 1
     write_sgfs: bool = True
@@ -165,6 +170,8 @@ def run_selfplay_daemon(
     total_rows = 0
     games_done = 0
     seg = 0
+    pending_trajs = []
+    finalize_fn = jax.jit(lambda t: finalize_targets(cfg, settings, t))
     t_start = time.monotonic()
 
     def build_for_model():
@@ -209,33 +216,44 @@ def run_selfplay_daemon(
 
         rng, k = jax.random.split(rng)
         states, ep, traj = segment_fn(states, ep, k)
-        batch = finalize_targets(cfg, settings, traj)
-        rows = writer.add_batch(batch)
-        total_rows += rows
-
-        if spc.write_sgfs:
-            episodes = extract_episodes(cfg, traj)
-            games_done += len(episodes)
-            for i, (moves, winner) in enumerate(episodes):
-                text = write_sgf(
-                    cfg.x_size, cfg.y_size, cfg.win_len, moves,
-                    model_name, model_name, winner=winner,
-                )
-                path = os.path.join(sgf_dir, f"seg{seg:06d}_{i:04d}.sgf")
-                with open(path, "w") as f:
-                    f.write(text + "\n")
-
+        pending_trajs.append(jax.tree_util.tree_map(np.asarray, traj))
         seg += 1
-        dt = time.monotonic() - t_start
-        logger.write(
-            f"selfplay: seg {seg} rows {total_rows} games {games_done} "
-            f"({total_rows / max(dt, 1e-9):.1f} rows/s)"
-        )
-        if spc.max_segments is not None and seg >= spc.max_segments:
+
+        def flush_pending():
+            nonlocal pending_trajs, total_rows, games_done
+            if not pending_trajs:
+                return
+            merged = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs, axis=0), *pending_trajs
+            )
+            pending_trajs = []
+            batch = finalize_fn(merged)
+            total_rows += writer.add_batch(batch)
+            if spc.write_sgfs:
+                episodes = extract_episodes(cfg, merged)
+                games_done += len(episodes)
+                for i, (moves, winner) in enumerate(episodes):
+                    text = write_sgf(
+                        cfg.x_size, cfg.y_size, cfg.win_len, moves,
+                        model_name, model_name, winner=winner,
+                    )
+                    path = os.path.join(sgf_dir, f"seg{seg:06d}_{i:04d}.sgf")
+                    with open(path, "w") as f:
+                        f.write(text + "\n")
+
+        done_now = (
+            spc.max_segments is not None and seg >= spc.max_segments
+        ) or stop_requested["flag"]
+        if len(pending_trajs) >= spc.segments_per_flush or done_now:
+            flush_pending()
+            dt = time.monotonic() - t_start
+            logger.write(
+                f"selfplay: seg {seg} rows {total_rows} games {games_done} "
+                f"({total_rows / max(dt, 1e-9):.1f} rows/s)"
+            )
+        if done_now:
             break
         if spc.max_rows is not None and total_rows >= spc.max_rows:
-            break
-        if stop_requested["flag"]:
             break
 
     writer.flush()
