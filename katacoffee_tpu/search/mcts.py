@@ -135,8 +135,8 @@ class Tree(NamedTuple):
     is_terminal: jax.Array  # [B, N] bool
     node_count: jax.Array  # [B] int32
     sit_hash: jax.Array  # [B, N, 2] uint32 situation hash (transposition key)
-    policy_rank: jax.Array  # [B, N, 2, A] int32: [.,.,0]=actions by descending
-    #   raw policy, [.,.,1]=inverse permutation ([B,1,2,1] dummy when off)
+    policy_rank: jax.Array  # [B, N, A] int32: each action's position in the
+    #   node's policy-descending order ([B,1,1] dummy when noise pruning off)
     bias_key: jax.Array  # [B, N] int32
     last_bias_delta: jax.Array  # [B, N] f32 node's last table contribution
     last_bias_weight: jax.Array  # [B, N] f32
@@ -301,6 +301,55 @@ def make_nn_eval_fn(
     return fn
 
 
+def _root_eval(
+    cfg: GameConfig, sp: SearchParams, eval_fn: EvalFn, states: GameState, rng: jax.Array
+) -> EvalResult:
+    """Root evaluation, honoring rootNumSymmetriesToSample (searchparams.h:64,
+    selfplay1.cfg:149 sets 4): sample that many DISTINCT dihedral symmetries
+    per game, evaluate the transformed root under each, inverse-transform the
+    policies, and average all outputs — decorrelating root NN bias where it
+    matters most. Implemented at the state level (transform GameState, call
+    eval_fn, undo the policy) so it composes with any evaluator, including
+    nnRandomize-wrapped ones."""
+    k = int(sp.rootNumSymmetriesToSample)
+    if k <= 1:
+        return eval_fn(states, rng)
+    from katacoffee_tpu.game import symmetry as S
+
+    nsym = S.num_symmetries(cfg)
+    k = min(k, nsym)
+    B = states.board.shape[0]
+    k_pick, k_eval = jax.random.split(rng)
+    # k distinct symmetries per game: random permutation prefix
+    perm = jnp.argsort(jax.random.uniform(k_pick, (B, nsym)), axis=-1)
+
+    def eval_under(j):
+        sym = perm[:, j]
+
+        def fwd_row(s_i, st):
+            return jax.lax.switch(
+                s_i, [lambda t, s=s: S.apply_state(cfg, s, t) for s in range(nsym)], st
+            )
+
+        ts = jax.vmap(fwd_row)(sym, states)
+        res = eval_fn(ts, jax.random.fold_in(k_eval, j))
+
+        def inv_row(s_i, pol):
+            return jax.lax.switch(
+                s_i,
+                [lambda p, s=s: S.apply_policy(cfg, S.invert(s), p) for s in range(nsym)],
+                pol,
+            )
+
+        return res._replace(policy=jax.vmap(inv_row)(sym, res.policy))
+
+    acc = eval_under(0)
+    for j in range(1, k):
+        r = eval_under(j)
+        acc = jax.tree_util.tree_map(lambda a, b: a + b, acc, r)
+    return jax.tree_util.tree_map(lambda a: a / k, acc)
+
+
 # ---------------------------------------------------------------------------
 # Small helpers
 # ---------------------------------------------------------------------------
@@ -330,11 +379,14 @@ def _stats_row(visits, w, wsq, u, usq, wl, draw):
     )
 
 
-def _rank_pair(raw_prior: jax.Array) -> jax.Array:
-    """[B, 2, A]: policy-descending order and its inverse permutation."""
-    order = jnp.argsort(-jnp.maximum(raw_prior, 1e-30), axis=-1).astype(jnp.int32)
-    inv = jnp.argsort(order, axis=-1).astype(jnp.int32)
-    return jnp.stack([order, inv], axis=-2)
+def _policy_ranks(raw_prior: jax.Array) -> jax.Array:
+    """[B, A]: each action's position in the policy-descending order (0 =
+    highest policy). Only the relative order matters — noise pruning's
+    prefix sums are computed with a rank-comparison mask matmul, never by
+    physically permuting arrays (a [B,A]-indexed take_along_axis serializes
+    on TPU — profiled ~200µs per call at B=256)."""
+    order = jnp.argsort(-jnp.maximum(raw_prior, 1e-30), axis=-1)
+    return jnp.argsort(order, axis=-1).astype(jnp.int32)
 
 
 def _bias_keys(cfg: GameConfig, states: GameState) -> jax.Array:
@@ -413,7 +465,7 @@ def init_tree(
     """Allocate trees and evaluate the roots (beginSearch equivalent without
     tree reuse). `turn_number` [B] drives early-game temperature interp."""
     k_eval, k_noise = jax.random.split(rng)
-    res = eval_fn(root_states, k_eval)
+    res = _root_eval(cfg, sp, eval_fn, root_states, k_eval)
     return _tree_from_root_eval(cfg, sp, root_states, res, max_nodes, k_noise, turn_number)
 
 
@@ -461,10 +513,10 @@ def _tree_from_root_eval(
     if use_bias:
         bias_key0 = bias_key0.at[:, 0].set(_bias_keys(cfg, root_states))
     if sp.useNoisePruning:
-        rank0 = _rank_pair(raw_prior)
-        policy_rank = jnp.zeros((B, N, 2, A), jnp.int32).at[:, 0].set(rank0)
+        rank0 = _policy_ranks(raw_prior)
+        policy_rank = jnp.zeros((B, N, A), jnp.int32).at[:, 0].set(rank0)
     else:
-        policy_rank = jnp.zeros((B, 1, 2, 1), jnp.int32)
+        policy_rank = jnp.zeros((B, 1, 1), jnp.int32)
 
     return Tree(
         states=states,
@@ -824,8 +876,8 @@ def _simulate_once(
         policy_rank=(
             tree.policy_rank.at[bidx, slot].set(
                 jnp.where(
-                    do_alloc[:, None, None],
-                    _rank_pair(new_prior),
+                    do_alloc[:, None],
+                    _policy_ranks(new_prior),
                     tree.policy_rank[bidx, slot],
                 )
             )
@@ -897,16 +949,45 @@ def _simulate_once(
     # itself (its child edges changed).
     limit = jnp.where(revisit, leaf_depth - 1, leaf_depth)
 
-    def backup_level(i, tr):
+    # The loop carry holds ONLY the arrays backup mutates (stats + the bias
+    # state). Carrying the whole Tree made XLA copy the untouched [B,N,A]
+    # buffers (children, edge_visits, prior, …) in and out of the loop every
+    # level — ~350µs/sim of pure buffer copies, profiled at B=256.
+    def backup_level(i, mut):
+        if use_bias:
+            tr = tree._replace(
+                stats=mut[0],
+                bias_table=mut[1],
+                last_bias_delta=mut[2],
+                last_bias_weight=mut[3],
+            )
+        else:
+            tr = tree._replace(stats=mut[0])
         l = max_depth - i
         n = path[:, l]
         on_path = (l <= limit) & (n >= 0) & (l <= leaf_depth) & act_mask
-        return _recompute_node(cfg, sp, tr, n, on_path)
+        tr = _recompute_node(cfg, sp, tr, n, on_path)
+        if use_bias:
+            return (tr.stats, tr.bias_table, tr.last_bias_delta, tr.last_bias_weight)
+        return (tr.stats,)
 
     # only levels up to the deepest leaf in the batch do any work; dynamic
     # lower bound turns the fixed board-area unroll into ~actual-depth trips
     deepest = jnp.max(jnp.where(act_mask, limit, 0))
-    tree = jax.lax.fori_loop(max_depth - deepest, max_depth + 1, backup_level, tree)
+    if use_bias:
+        mut0 = (tree.stats, tree.bias_table, tree.last_bias_delta, tree.last_bias_weight)
+    else:
+        mut0 = (tree.stats,)
+    mut = jax.lax.fori_loop(max_depth - deepest, max_depth + 1, backup_level, mut0)
+    if use_bias:
+        tree = tree._replace(
+            stats=mut[0],
+            bias_table=mut[1],
+            last_bias_delta=mut[2],
+            last_bias_weight=mut[3],
+        )
+    else:
+        tree = tree._replace(stats=mut[0])
     return tree, rng
 
 
@@ -932,19 +1013,21 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
     # --- noise pruning (pruneNoiseWeight, vectorized approximation) ---
     if sp.useNoisePruning:
         raw_prior = jnp.maximum(tree.prior[bidx, node], 1e-30)
-        rank = tree.policy_rank[bidx, node]  # [B, 2, A], precomputed
-        order, inv_order = rank[:, 0], rank[:, 1]
-        # one gather for all three channels, inverse-permute to go back
-        packed = jnp.stack([cw, cu, raw_prior], axis=-1)  # [B, A, 3]
-        packed_o = jnp.take_along_axis(packed, order[..., None], axis=1)
-        w_o, u_o, p_o = packed_o[..., 0], packed_o[..., 1], packed_o[..., 2]
-        cum_w = jnp.cumsum(w_o, axis=-1) - w_o
-        cum_uw = jnp.cumsum(u_o * w_o, axis=-1) - u_o * w_o
-        cum_p = jnp.cumsum(p_o, axis=-1) - p_o
+        rank = tree.policy_rank[bidx, node]  # [B, A] rank positions
+        # Exclusive prefix sums in policy-descending order WITHOUT physically
+        # permuting: predecessor mask lt[b, a', a] = (rank[a'] < rank[a]),
+        # then one [B,A,3] @ [B,A',A] contraction on the MXU gives all three
+        # running sums in original action order. The previous formulation's
+        # two take_along_axis permutes serialized on TPU (~400µs/backup
+        # level combined — 24%% of whole-search time, profiled).
+        lt = (rank[:, :, None] < rank[:, None, :]).astype(jnp.float32)
+        pk = jnp.stack([cw, cw * cu, raw_prior], axis=-1)  # [B, A', 3]
+        cums = jnp.einsum("bas,bac->bcs", pk, lt)  # [B, A, 3]
+        cum_w, cum_uw, cum_p = cums[..., 0], cums[..., 1], cums[..., 2]
         avg_so_far = cum_uw / jnp.maximum(cum_w, _EPS)
-        gap = avg_so_far - u_o
-        share = cum_w * p_o / jnp.maximum(cum_p, 1e-30)
-        excess = jnp.maximum(w_o - 2.0 * share, 0.0)
+        gap = avg_so_far - cu
+        share = cum_w * raw_prior / jnp.maximum(cum_p, 1e-30)
+        excess = jnp.maximum(cw - 2.0 * share, 0.0)
         sub = jnp.where(
             (gap > 0) & (cum_w > 0),
             excess * (1.0 - jnp.exp(-gap / sp.noisePruneUtilityScale)),
@@ -952,8 +1035,7 @@ def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: ja
         )
         if sp.noisePruningCap < 1e30:  # default 1e50 = uncapped (f32-safe)
             sub = jnp.minimum(sub, sp.noisePruningCap)
-        w_pruned_o = w_o - sub
-        cw_used = jnp.take_along_axis(w_pruned_o, inv_order, axis=-1)
+        cw_used = cw - sub
     else:
         cw_used = cw
 
@@ -1142,7 +1224,7 @@ def advance_root(
     nidx = jnp.arange(N)
 
     k_eval, k_noise1, k_noise2 = jax.random.split(rng, 3)
-    res = eval_fn(root_states, k_eval)
+    res = _root_eval(cfg, sp, eval_fn, root_states, k_eval)
     fresh = _tree_from_root_eval(
         cfg, sp, root_states, res, N, k_noise1, turn_number
     )
@@ -1215,19 +1297,31 @@ def advance_root(
         last_bw = tree.last_bias_weight
         bias_key = tree.bias_key
 
-    # fresh root prior for the reused root (beginSearch re-noises)
-    reused_raw = g3(tree.prior)[:, 0]
+    # Fresh root prior for the reused root (beginSearch re-noises). The
+    # reference re-evaluates the root node with root-eval settings when it
+    # becomes root (multi-symmetry averaging, searchnnhelpers.cpp isRoot
+    # path); `res` above IS that evaluation of the new root position, so the
+    # reused root's raw prior/ranks are refreshed from it. Its self_stats
+    # keep the original leaf eval (weight ~1 of the whole subtree; deviation
+    # documented).
+    reused_prior = g3(tree.prior).at[:, 0].set(fresh.prior[:, 0])
+    reused_raw = fresh.prior[:, 0]
     legal = reused_raw >= 0
     reused_root_prior = _make_root_prior(
         cfg, sp, jnp.maximum(reused_raw, 0.0), legal,
         root_states, k_noise2, turn_number,
+    )
+    reused_rank = (
+        g3(tree.policy_rank).at[:, 0].set(fresh.policy_rank[:, 0])
+        if sp.useNoisePruning
+        else tree.policy_rank
     )
 
     reused = Tree(
         states=jax.tree_util.tree_map(lambda x: x[bidx[:, None], order], tree.states),
         stats=jnp.where(live[:, :, None], g3(tree.stats), 0.0),
         self_stats=jnp.where(live[:, :, None], g3(tree.self_stats), 0.0),
-        prior=g3(tree.prior),
+        prior=reused_prior,
         root_prior=reused_root_prior,
         children=ch_new,
         edge_visits=ev_new,
@@ -1236,7 +1330,7 @@ def advance_root(
         is_terminal=jnp.where(live, g2(tree.is_terminal), False),
         node_count=n_kept,
         sit_hash=g3(tree.sit_hash),
-        policy_rank=g3(tree.policy_rank) if sp.useNoisePruning else tree.policy_rank,
+        policy_rank=reused_rank,
         bias_key=bias_key,
         last_bias_delta=last_bd,
         last_bias_weight=last_bw,

@@ -130,6 +130,7 @@ class SearchParams:
             useGraphSearch=True,
             subtreeValueBiasFactor=0.30,
             subtreeValueBiasWeightExponent=0.8,
+            rootNumSymmetriesToSample=4,
             chosenMoveTemperature=0.1,
             chosenMoveTemperatureEarly=0.75,
             chosenMoveTemperatureHalflife=19.0,
