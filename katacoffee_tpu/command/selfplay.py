@@ -99,6 +99,8 @@ class SelfplayConfig:
     startposes_dir: str | None = None
     startposes_prob: float = 0.0
     startposes_turn_weight_lambda: float = 0.0
+    # side-position forking (sidePositionProb, selfplay1.cfg:58)
+    side_position_prob: float = 0.020
 
 
 def run_selfplay_daemon(
@@ -152,7 +154,15 @@ def run_selfplay_daemon(
         else:
             logger.write(f"selfplay: no usable start positions in {spc.startposes_dir}")
 
-    settings = SelfplaySettings(num_sims=spc.num_sims, startposes_prob=startposes_prob)
+    settings = SelfplaySettings(
+        num_sims=spc.num_sims,
+        startposes_prob=startposes_prob,
+        side_position_prob=spc.side_position_prob,
+        side_position_capacity=max(
+            16,
+            -(-int(spc.batch_size * spc.moves_per_segment * spc.side_position_prob * 2) // 8) * 8,
+        ),
+    )
     states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(spc.batch_size))
     ep = jnp.zeros((spc.batch_size,), jnp.int32)
     n_dev = len(jax.devices())
@@ -174,8 +184,11 @@ def run_selfplay_daemon(
     finalize_fn = jax.jit(lambda t: finalize_targets(cfg, settings, t))
     t_start = time.monotonic()
 
+    side_fn = None
+    side_state = None
+
     def build_for_model():
-        nonlocal segment_fn, writer, sgf_dir
+        nonlocal segment_fn, writer, sgf_dir, side_fn, side_state
         out_base = os.path.join(base_dir, "selfplay", model_name)
         tdata = os.path.join(out_base, "tdata")
         sgf_dir = os.path.join(out_base, "sgfs")
@@ -190,6 +203,13 @@ def run_selfplay_daemon(
             )
 
         segment_fn = jax.jit(seg_fn)
+        if settings.side_position_prob > 0.0:
+            from katacoffee_tpu.selfplay import init_side_state, run_side_segment
+
+            side_state = init_side_state(cfg, settings.side_position_capacity)
+            side_fn = jax.jit(
+                lambda ss, t, r: run_side_segment(cfg, sp, settings, ev, ss, t, r)
+            )
 
     while True:
         if seg % spc.poll_every_segments == 0:
@@ -216,6 +236,11 @@ def run_selfplay_daemon(
 
         rng, k = jax.random.split(rng)
         states, ep, traj = segment_fn(states, ep, k)
+        if side_fn is not None:
+            # the segment's queued side positions, one extra device call
+            rng, k_side = jax.random.split(rng)
+            side_state, side_batch = side_fn(side_state, traj, k_side)
+            total_rows += writer.add_batch(side_batch)
         pending_trajs.append(jax.tree_util.tree_map(np.asarray, traj))
         seg += 1
 
@@ -289,6 +314,7 @@ def main(argv, **kw):
         startposes_dir=c.get_string("startPosesFromSgfDir", "") or None,
         startposes_prob=c.get_float("startPosesProb", 0.0),
         startposes_turn_weight_lambda=c.get_float("startPosesTurnWeightLambda", 0.0),
+        side_position_prob=c.get_float("sidePositionProb", 0.020),
     )
     logger = Logger(log_to_stdout=True)
     os.makedirs(args.output_dir, exist_ok=True)

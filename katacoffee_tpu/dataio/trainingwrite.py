@@ -40,7 +40,10 @@ from typing import Iterator
 
 import numpy as np
 
-SCHEMA_VERSION = 1
+# v2 adds aux_weight (side-position rows); v1 shards read back with
+# aux_weight = 1 for every row
+SCHEMA_VERSION = 2
+_READABLE_VERSIONS = (1, 2)
 
 
 def _to_np(x):
@@ -77,6 +80,7 @@ def batch_to_arrays(batch, cfg) -> dict[str, np.ndarray]:
         "shortterm_value": k(batch.shortterm_value_target, np.float32),
         "weight": k(batch.weight, np.float32),
         "opponent_policy_weight": k(batch.opponent_policy_weight, np.float32),
+        "aux_weight": k(batch.aux_weight, np.float32),
     }
 
 
@@ -97,6 +101,7 @@ _ROW_KEYS = [
     "shortterm_value",
     "weight",
     "opponent_policy_weight",
+    "aux_weight",
 ]
 
 
@@ -167,8 +172,10 @@ def read_npz_rows(path: str) -> dict[str, np.ndarray]:
     with np.load(path) as z:
         data = {kk: z[kk] for kk in z.files}
     ver = int(data["schema_version"][0])
-    if ver != SCHEMA_VERSION:
-        raise ValueError(f"{path}: schema version {ver} != {SCHEMA_VERSION}")
+    if ver not in _READABLE_VERSIONS:
+        raise ValueError(f"{path}: schema version {ver} not in {_READABLE_VERSIONS}")
+    if "aux_weight" not in data:  # v1 shard
+        data["aux_weight"] = np.ones_like(data["weight"])
     return data
 
 
@@ -213,6 +220,9 @@ def rows_to_batch(data: dict[str, np.ndarray], cfg):
         shortterm_value_target=jnp.asarray(data["shortterm_value"]),
         weight=jnp.asarray(data["weight"]),
         opponent_policy_weight=jnp.asarray(data["opponent_policy_weight"]),
+        aux_weight=jnp.asarray(
+            data.get("aux_weight", np.ones_like(data["weight"]))
+        ),
     )
 
 

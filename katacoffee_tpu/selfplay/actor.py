@@ -75,6 +75,20 @@ class SelfplaySettings:
     # fraction of episodes starting from a startpos_pool position
     # (startPosesProb, selfplay1.cfg:37)
     startposes_prob: float = 0.0
+    # Side-position forking (sidePositionProb, selfplay1.cfg:58 = 0.020;
+    # play.cpp:1328-1345): with this probability per recorded move, fork the
+    # position with a random NON-played move (70% policy temp 1, 25% policy
+    # temp 2, 5% uniform legal — chooseRandomForkingMove, play.cpp:615) and
+    # later run a full search on the fork, training on refuting bad
+    # alternative moves. Forks are batched across the segment and searched
+    # in one device call (run_side_segment); the reference's 25%-probability
+    # fork continuations carry over to the NEXT segment's side batch instead
+    # of searching immediately (same expected data, no extra device calls).
+    side_position_prob: float = 0.0
+    # lanes in the per-segment side-position search; forks beyond capacity in
+    # a segment are dropped (expected forks = moves*B*prob*1.33; size with
+    # ~2x headroom)
+    side_position_capacity: int = 128
     # Tree reuse between moves (beginSearch reuse, search.cpp:262-331):
     # each move's search starts from the played child's subtree and only
     # plays out the visit deficit — reused visits count toward num_sims
@@ -101,6 +115,8 @@ class Trajectory(NamedTuple):
     raw_policy: jax.Array  # [T, B, A] root raw NN policy (for surprise)
     raw_value: jax.Array  # [T, B, 3] root raw NN win/loss/draw probs
     policy_init: jax.Array  # [T, B] row was a policy-init opening move
+    fork_states: GameState  # [T, B, ...] side-position forks (post fork move)
+    fork_valid: jax.Array  # [T, B] fork lane holds a real side position
 
 
 class TrainingBatch(NamedTuple):
@@ -120,6 +136,30 @@ class TrainingBatch(NamedTuple):
     shortterm_value_target: jax.Array  # [R] next-step search wl (mover persp.)
     weight: jax.Array  # [R] row weight (0 = masked/incomplete episode)
     opponent_policy_weight: jax.Array  # [R] 0 on final rows of an episode
+    aux_weight: jax.Array  # [R] multiplier on game-outcome aux losses
+    #   (ownership, longest-line, futurepos, varTimeLeft, shortterm error):
+    #   1 for main-game rows, 0 for side-position rows, which have no game
+    #   result (trainingwrite.cpp:134-153 passes NULL final targets)
+
+
+def _sample_fork_move(cfg: GameConfig, key, raw_policy, ban_action):
+    """chooseRandomForkingMove (play.cpp:615-634): 70% a temp-1 policy
+    sample, 25% temp-2, 5% uniform over legal moves — never the banned
+    (actually played) move. raw_policy is zero on illegal moves. Returns
+    (action [B], ok [B]); ok False when no legal non-banned move exists."""
+    B, A = raw_policy.shape
+    k_mix, k_t1, k_t2, k_u = jax.random.split(key, 4)
+    banned = jax.nn.one_hot(ban_action, A, dtype=bool)
+    p = jnp.where(banned, 0.0, raw_policy)
+    legal = p > 0
+    ok = legal.any(-1)
+    logits1 = jnp.where(legal, jnp.log(jnp.maximum(p, 1e-30)), -jnp.inf)
+    a1 = jax.random.categorical(k_t1, logits1)
+    a2 = jax.random.categorical(k_t2, logits1 / 2.0)
+    au = jax.random.categorical(k_u, jnp.where(legal, 0.0, -jnp.inf))
+    r = jax.random.uniform(k_mix, (B,))
+    act = jnp.where(r < 0.70, a1, jnp.where(r < 0.95, a2, au))
+    return jnp.where(ok, act, 0).astype(jnp.int32), ok
 
 
 def run_selfplay_segment(
@@ -204,6 +244,21 @@ def run_selfplay_segment(
             raw_value=raw_value,
             policy_init=is_init,
         )
+        # side-position forking (play.cpp:1328-1345)
+        if settings.side_position_prob > 0.0:
+            k_fork, k_forkmove = jax.random.split(jax.random.fold_in(key, 11))
+            fork_move, fork_ok = _sample_fork_move(cfg, k_forkmove, raw_policy, action)
+            fork_st = jax.vmap(functools.partial(step, cfg))(st, fork_move)
+            do_fork = (
+                (jax.random.uniform(k_fork, (B,)) < settings.side_position_prob)
+                & ~is_init
+            )
+            # a finished fork is dropped (play.cpp:1340-1343)
+            rec["fork_valid"] = do_fork & fork_ok & ~fork_st.done
+            rec["fork_states"] = fork_st
+        else:
+            rec["fork_valid"] = jnp.zeros((B,), bool)
+            rec["fork_states"] = st
         # auto-reset finished games (optionally from a start position)
         fresh = jax.vmap(lambda _: init_state(cfg))(jnp.arange(st.board.shape[0]))
         from_startpos = jnp.zeros((B,), bool)
@@ -506,4 +561,108 @@ def finalize_targets(
         opponent_policy_weight=flat(
             outs["opp_weight"].astype(jnp.float32) * weight
         ),
+        aux_weight=jnp.ones((T * B,), jnp.float32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Side positions (play.cpp:1254,1328-1345,1578-1665)
+# ---------------------------------------------------------------------------
+
+
+class SideState(NamedTuple):
+    """Cross-segment carry of pending side positions — the reference's
+    sidePositionsToSearch queue (play.cpp:1254). Fork continuations sampled
+    at the end of one segment's side search wait here for the next one."""
+
+    states: GameState  # [C]
+    valid: jax.Array  # [C] bool
+
+
+def init_side_state(cfg: GameConfig, capacity: int) -> SideState:
+    states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(capacity))
+    return SideState(states=states, valid=jnp.zeros((capacity,), bool))
+
+
+def run_side_segment(
+    cfg: GameConfig,
+    sp: SearchParams,
+    settings: SelfplaySettings,
+    eval_fn: mcts.EvalFn,
+    side: SideState,
+    traj: Trajectory,
+    rng: jax.Array,
+) -> tuple[SideState, TrainingBatch]:
+    """Search the segment's queued side positions in ONE batched device call
+    (the reference searches them serially after the game, play.cpp:1578-1628)
+    and emit their training rows: the side search's policy target and its
+    root value as a soft value/TD target, no opponent-policy or game-outcome
+    aux targets (trainingwrite.cpp:120-158 side-position addRow).
+
+    Also samples the reference's 25%-probability fork continuations
+    (play.cpp:1634-1660): play the side search's chosen response plus a fresh
+    forking move, and queue the result for the NEXT segment's side batch.
+    jit with static cfg/sp/settings/eval_fn."""
+    C = side.valid.shape[0]
+    max_nodes = settings.max_nodes or max(
+        64, int(settings.num_sims * settings.node_budget_frac) + 2
+    )
+
+    # merge carried continuations (kept first) with this segment's new forks
+    flat_states = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), traj.fork_states
+    )
+    all_states = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], 0), side.states, flat_states
+    )
+    all_valid = jnp.concatenate([side.valid, traj.fork_valid.reshape(-1)])
+    order = jnp.argsort(~all_valid, stable=True)[:C]
+    states_c = jax.tree_util.tree_map(lambda x: x[order], all_states)
+    valid_c = all_valid[order]
+
+    k_search, k_move, k_cont, k_fork, k_eval = jax.random.split(rng, 5)
+    tree = mcts.run_search(
+        cfg, sp, eval_fn, states_c, settings.num_sims, k_search, max_nodes
+    )
+    pt = mcts.policy_target(tree, sp)
+    vals = mcts.root_values(tree)
+    wl, draw = vals["root_wl"], jnp.clip(vals["root_draw"], 0.0, 1.0)
+    win = jnp.clip((1.0 - draw + wl) * 0.5, 0.0, 1.0)
+    loss = jnp.clip((1.0 - draw - wl) * 0.5, 0.0, 1.0)
+    vt = jnp.stack([win, loss, draw], axis=-1)
+    vt = vt / jnp.maximum(vt.sum(-1, keepdims=True), 1e-8)
+    L = len(settings.td_coeffs)
+    td = jnp.broadcast_to(vt[:, None, :], (C, L, 3))
+
+    Y, X = cfg.y_size, cfg.x_size
+    weight = valid_c.astype(jnp.float32)
+    batch = TrainingBatch(
+        states=states_c,
+        policy_target=pt,
+        opponent_policy_target=jnp.zeros((C, cfg.policy_size), jnp.float32),
+        value_target=vt,
+        td_value_targets=td,
+        ownership_target=jnp.zeros((C, Y, X), jnp.float32),
+        line_target=jnp.zeros((C, Y, X), jnp.int32),
+        futurepos_target=jnp.zeros((C, 2, Y, X), jnp.float32),
+        var_time_left_target=jnp.zeros((C,), jnp.float32),
+        shortterm_value_target=jnp.zeros((C,), jnp.float32),
+        weight=weight,
+        opponent_policy_weight=jnp.zeros((C,), jnp.float32),
+        aux_weight=jnp.zeros((C,), jnp.float32),
+    )
+
+    # continuations: response move + fresh forking move, kept with prob 0.25
+    response = mcts.select_moves(cfg, sp, tree, k_move)
+    nxt = jax.vmap(functools.partial(step, cfg))(states_c, response)
+    res = eval_fn(nxt, k_eval)
+    fork2, ok2 = _sample_fork_move(cfg, k_fork, res.policy, jnp.full((C,), -1))
+    st2 = jax.vmap(functools.partial(step, cfg))(nxt, fork2)
+    keep = (
+        valid_c
+        & (jax.random.uniform(k_cont, (C,)) < 0.25)
+        & ~nxt.done
+        & ok2
+        & ~st2.done
+    )
+    return SideState(states=st2, valid=keep), batch

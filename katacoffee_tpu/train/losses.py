@@ -116,7 +116,10 @@ def compute_losses(cfg: GameConfig, model, params, batch: TrainingBatch, symmetr
         own_p * jax.nn.log_sigmoid(2.0 * own_logit)
         + (1.0 - own_p) * jax.nn.log_sigmoid(-2.0 * own_logit)
     )
-    loss_own = 1.5 * wmean(own_ce.mean(axis=(-1, -2)))
+    # game-outcome aux targets don't exist for side-position rows
+    # (trainingwrite.cpp:134-153 NULL final targets) — aux_weight masks them
+    wa = w * batch.aux_weight
+    loss_own = 1.5 * wmean(own_ce.mean(axis=(-1, -2)), weights=wa)
 
     fut_p = (futurepos + 1.0) * 0.5
     fut_logit = out["futurepos"]
@@ -126,7 +129,7 @@ def compute_losses(cfg: GameConfig, model, params, batch: TrainingBatch, symmetr
     )
     # weight the further-out channel less (metrics_pytorch.py:112-128)
     fut_ce = fut_ce[:, 0].mean(axis=(-1, -2)) + 0.6 * fut_ce[:, 1].mean(axis=(-1, -2))
-    loss_fut = 0.25 * wmean(fut_ce)
+    loss_fut = 0.25 * wmean(fut_ce, weights=wa)
 
     # longest-line aux: per-cell classification over 0..win_len
     line_t = jnp.clip(lines, 0, cfg.win_len).astype(jnp.int32)
@@ -134,10 +137,11 @@ def compute_losses(cfg: GameConfig, model, params, batch: TrainingBatch, symmetr
     line_ce = _ce(
         jnp.transpose(out["line_logits"], (0, 2, 3, 1)), line_onehot
     ).mean(axis=(-1, -2))
-    loss_line = 0.5 * wmean(line_ce)
+    loss_line = 0.5 * wmean(line_ce, weights=wa)
 
     loss_vtl = 0.0003 * wmean(
-        _huber(out["var_time_left"], batch.var_time_left_target, delta=100.0)
+        _huber(out["var_time_left"], batch.var_time_left_target, delta=100.0),
+        weights=wa,
     )
 
     # shortterm value error: huber toward realized squared error of the
@@ -146,7 +150,9 @@ def compute_losses(cfg: GameConfig, model, params, batch: TrainingBatch, symmetr
     predv = jax.lax.stop_gradient(td_probs[:, 0] - td_probs[:, 1])
     realv = batch.td_value_targets[:, 2, 0] - batch.td_value_targets[:, 2, 1]
     sqerr = jnp.square(predv - realv) + 1e-8
-    loss_sterr = 2.0 * wmean(_huber(out["shortterm_error"], sqerr, delta=0.4))
+    loss_sterr = 2.0 * wmean(
+        _huber(out["shortterm_error"], sqerr, delta=0.4), weights=wa
+    )
 
     total = (
         loss_policy
