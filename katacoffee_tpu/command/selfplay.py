@@ -101,6 +101,10 @@ class SelfplayConfig:
     startposes_turn_weight_lambda: float = 0.0
     # side-position forking (sidePositionProb, selfplay1.cfg:58)
     side_position_prob: float = 0.020
+    # hint-position SGFs (hintPosesFromSgfDir / hintPosesProb): episodes
+    # start at mined positions with the recorded move as rootHintLoc
+    hintposes_dir: str | None = None
+    hintposes_prob: float = 0.0
 
 
 def run_selfplay_daemon(
@@ -154,9 +158,26 @@ def run_selfplay_daemon(
         else:
             logger.write(f"selfplay: no usable start positions in {spc.startposes_dir}")
 
+    hintpos_pool = None
+    hintposes_prob = 0.0
+    if spc.hintposes_dir and spc.hintposes_prob > 0.0:
+        from katacoffee_tpu.selfplay.startposes import load_startposes
+
+        loaded = load_startposes(cfg, spc.hintposes_dir, with_hints=True)
+        if loaded is not None:
+            hintpos_pool = (loaded[0], jnp.asarray(loaded[1]), jnp.asarray(loaded[2]))
+            hintposes_prob = spc.hintposes_prob
+            logger.write(
+                f"selfplay: loaded {loaded[1].shape[0]} hint positions "
+                f"from {spc.hintposes_dir}"
+            )
+        else:
+            logger.write(f"selfplay: no usable hint positions in {spc.hintposes_dir}")
+
     settings = SelfplaySettings(
         num_sims=spc.num_sims,
         startposes_prob=startposes_prob,
+        hintposes_prob=hintposes_prob,
         side_position_prob=spc.side_position_prob,
         side_position_capacity=max(
             16,
@@ -199,7 +220,7 @@ def run_selfplay_daemon(
         def seg_fn(s, e, r):
             return run_selfplay_segment(
                 cfg, sp, settings, ev, s, e, r, spc.moves_per_segment,
-                startpos_pool=startpos_pool,
+                startpos_pool=startpos_pool, hintpos_pool=hintpos_pool,
             )
 
         segment_fn = jax.jit(seg_fn)
@@ -315,6 +336,8 @@ def main(argv, **kw):
         startposes_prob=c.get_float("startPosesProb", 0.0),
         startposes_turn_weight_lambda=c.get_float("startPosesTurnWeightLambda", 0.0),
         side_position_prob=c.get_float("sidePositionProb", 0.020),
+        hintposes_dir=c.get_string("hintPosesFromSgfDir", "") or None,
+        hintposes_prob=c.get_float("hintPosesProb", 0.0),
     )
     logger = Logger(log_to_stdout=True)
     os.makedirs(args.output_dir, exist_ok=True)

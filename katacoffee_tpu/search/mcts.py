@@ -141,6 +141,14 @@ class Tree(NamedTuple):
     last_bias_delta: jax.Array  # [B, N] f32 node's last table contribution
     last_bias_weight: jax.Array  # [B, N] f32
     bias_table: jax.Array  # [B, K, 2] f32 (deltaUtilitySum, weightSum)
+    root_hint: jax.Array  # [B] int32 rootHintLoc action (-1 = none): gets a
+    #   2% root policy share and forced selection until its weight reaches
+    #   80% of the heaviest sibling's (search.h:81, searchhelpers.cpp:206-218,
+    #   searchexplorehelpers.cpp:155-168). Lockstep deviation (documented in
+    #   docs/DESIGN.md): the reference's 4x visit scaling on hint positions
+    #   is NOT applied — a per-game visit budget gates the whole lockstep
+    #   batch on its slowest game; the policy shift + forced selection are
+    #   what guarantee the hint move gets explored.
 
     # -- unpacked views (convenience; do not use in per-sim hot code) --
     @property
@@ -418,34 +426,46 @@ def _bias_avg(sp: SearchParams, tree: Tree, bidx, key: jax.Array) -> jax.Array:
     )
 
 
-def _child_edge_stats(tree: Tree, bidx, node):
-    """Per-action child stats with edge-scaled weights (NodeStats::childWeight,
-    searchnode.h:59-64): w = childWeightSum * edgeVisits / max(childVisits,1).
-
-    One one-hot einsum fetches all stat channels of all children at once
-    (the profiled fast path — see module docstring). Returns dict of [B, A]
-    arrays; missing edges have weight 0."""
+def _gather_child_stats(tree: Tree, bidx, node):
+    """Raw stat rows of every child of `node`: [B, A, 8]. One one-hot einsum
+    fetches all channels of all children at once (the profiled fast path —
+    see module docstring). Missing children give zero rows."""
     N = tree.stats.shape[1]
     child = tree.children[bidx, node]  # [B, A]
     has = child >= 0
     cidx = jnp.maximum(child, 0)
     onehot = jax.nn.one_hot(cidx, N, dtype=jnp.float32) * has[..., None]
-    cs = jnp.einsum("ban,bns->bas", onehot, tree.stats)  # [B, A, 8]
+    return jnp.einsum("ban,bns->bas", onehot, tree.stats)
+
+
+def _edge_stats_from_raw(tree: Tree, bidx, node, cs_raw):
+    """Per-action child stats with edge-scaled weights (NodeStats::childWeight,
+    searchnode.h:59-64): w = childWeightSum * edgeVisits / max(childVisits,1).
+    `cs_raw` [B, A, 8] is the children's raw stat rows (from
+    _gather_child_stats, or the descent's per-level save buffer). Returns
+    dict of [B, A] arrays; missing edges have weight 0."""
+    child = tree.children[bidx, node]  # [B, A]
+    has = child >= 0
+    cidx = jnp.maximum(child, 0)
     evis = tree.edge_visits[bidx, node].astype(jnp.float32)
-    cvis = cs[..., S_VISITS]
+    cvis = cs_raw[..., S_VISITS]
     scale = evis / jnp.maximum(cvis, 1.0)
     live = has & (evis > 0)
-    w = jnp.where(live, cs[..., S_W] * scale, 0.0)
-    wsq = jnp.where(live, cs[..., S_WSQ] * scale, 0.0)
-    u = jnp.where(live, -cs[..., S_U], 0.0)  # parent perspective
-    usq = jnp.where(live, cs[..., S_USQ], 0.0)
-    wl = jnp.where(live, -cs[..., S_WL], 0.0)
-    draw = jnp.where(live, cs[..., S_DRAW], 0.0)
+    w = jnp.where(live, cs_raw[..., S_W] * scale, 0.0)
+    wsq = jnp.where(live, cs_raw[..., S_WSQ] * scale, 0.0)
+    u = jnp.where(live, -cs_raw[..., S_U], 0.0)  # parent perspective
+    usq = jnp.where(live, cs_raw[..., S_USQ], 0.0)
+    wl = jnp.where(live, -cs_raw[..., S_WL], 0.0)
+    draw = jnp.where(live, cs_raw[..., S_DRAW], 0.0)
     return dict(
         child=child, has=has, cidx=cidx, live=live,
         w=w, wsq=wsq, u=u, usq=usq, wl=wl, draw=draw,
         evis=evis, cvis=cvis,
     )
+
+
+def _child_edge_stats(tree: Tree, bidx, node):
+    return _edge_stats_from_raw(tree, bidx, node, _gather_child_stats(tree, bidx, node))
 
 
 # ---------------------------------------------------------------------------
@@ -461,12 +481,16 @@ def init_tree(
     max_nodes: int,
     rng: jax.Array,
     turn_number: jax.Array | None = None,
+    root_hint: jax.Array | None = None,
 ) -> Tree:
     """Allocate trees and evaluate the roots (beginSearch equivalent without
-    tree reuse). `turn_number` [B] drives early-game temperature interp."""
+    tree reuse). `turn_number` [B] drives early-game temperature interp.
+    `root_hint` [B] = rootHintLoc action per game (-1 none)."""
     k_eval, k_noise = jax.random.split(rng)
     res = _root_eval(cfg, sp, eval_fn, root_states, k_eval)
-    return _tree_from_root_eval(cfg, sp, root_states, res, max_nodes, k_noise, turn_number)
+    return _tree_from_root_eval(
+        cfg, sp, root_states, res, max_nodes, k_noise, turn_number, root_hint
+    )
 
 
 def _tree_from_root_eval(
@@ -477,10 +501,13 @@ def _tree_from_root_eval(
     max_nodes: int,
     k_noise: jax.Array,
     turn_number: jax.Array | None = None,
+    root_hint: jax.Array | None = None,
 ) -> Tree:
     B = root_states.board.shape[0]
     N = max_nodes
     A = cfg.policy_size
+    if root_hint is None:
+        root_hint = jnp.full((B,), -1, jnp.int32)
 
     def broadcast_slot(x):
         return jnp.broadcast_to(x[:, None, ...], (B, N) + x.shape[1:]).copy()
@@ -490,7 +517,9 @@ def _tree_from_root_eval(
     legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(root_states)
 
     raw_prior = jnp.where(legal, res.policy, -1.0)
-    root_prior = _make_root_prior(cfg, sp, res.policy, legal, root_states, k_noise, turn_number)
+    root_prior = _make_root_prior(
+        cfg, sp, res.policy, legal, root_states, k_noise, turn_number, root_hint
+    )
 
     w0 = _eval_weight(sp, res.shortterm_error)
     root_term = root_states.done
@@ -536,6 +565,7 @@ def _tree_from_root_eval(
         last_bias_delta=jnp.zeros((B, N), jnp.float32),
         last_bias_weight=jnp.zeros((B, N), jnp.float32),
         bias_table=jnp.zeros((B, K, 2), jnp.float32),
+        root_hint=root_hint,
     )
 
 
@@ -592,10 +622,14 @@ def _root_symmetry_prune(cfg: GameConfig, states: GameState, prior: jax.Array) -
     return jnp.where(canonical, prior, -1.0)
 
 
-def _make_root_prior(cfg, sp: SearchParams, policy, legal, root_states, k_noise, turn_number):
+def _make_root_prior(
+    cfg, sp: SearchParams, policy, legal, root_states, k_noise, turn_number,
+    root_hint: jax.Array | None = None,
+):
     """Root policy temperature (early-game interpolated) + Dirichlet noise
-    (searchhelpers.cpp maybeAddPolicyNoiseAndTemp), plus optional root
-    symmetry pruning."""
+    (searchhelpers.cpp maybeAddPolicyNoiseAndTemp), the rootHintLoc 2%%
+    policy shift (searchhelpers.cpp:206-218), plus optional root symmetry
+    pruning (a hinted action is exempted from pruning)."""
     if turn_number is None:
         turn_number = root_states.num_turns.astype(jnp.float32)
     else:
@@ -615,9 +649,31 @@ def _make_root_prior(cfg, sp: SearchParams, policy, legal, root_states, k_noise,
     if sp.rootNoiseEnabled:
         policy = _add_dirichlet_noise(sp, k_noise, policy, legal)
 
+    if root_hint is not None:
+        # move 2% of the total legal mass onto the hint move
+        # (searchhelpers.cpp:206-218)
+        has_hint = root_hint >= 0
+        hint_safe = jnp.maximum(root_hint, 0)
+        bidx = jnp.arange(policy.shape[0])
+        hint_legal = has_hint & legal[bidx, hint_safe]
+        prop = 0.02
+        moved = jnp.where(legal, policy, 0.0).sum(-1) * prop
+        shifted = policy * (1.0 - prop)
+        shifted = shifted.at[bidx, hint_safe].add(moved)
+        policy = jnp.where(hint_legal[:, None], shifted, policy)
+
     out = jnp.where(legal, policy, -1.0)
     if sp.rootSymmetryPruning:
-        out = _root_symmetry_prune(cfg, root_states, out)
+        pruned = _root_symmetry_prune(cfg, root_states, out)
+        if root_hint is not None:
+            # never prune the hinted action itself
+            bidx = jnp.arange(policy.shape[0])
+            hint_safe = jnp.maximum(root_hint, 0)
+            restore = (root_hint >= 0) & (out[bidx, hint_safe] >= 0)
+            pruned = pruned.at[bidx, hint_safe].set(
+                jnp.where(restore, out[bidx, hint_safe], pruned[bidx, hint_safe])
+            )
+        out = pruned
     return out
 
 
@@ -646,15 +702,19 @@ def _add_dirichlet_noise(sp, rng, policy, legal):
 # ---------------------------------------------------------------------------
 
 
-def _select_action(cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: jax.Array):
+def _select_action(
+    cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: jax.Array, cs=None
+):
     """Vectorized selectBestChildToDescend (searchexplorehelpers.cpp:304-451).
-    node: [B] current node per game. Returns chosen action [B]."""
+    node: [B] current node per game. `cs` lets the caller pass precomputed
+    child-edge stats. Returns chosen action [B]."""
     B = node.shape[0]
     bidx = jnp.arange(B)
 
     raw_prior = tree.prior[bidx, node]  # [B, A]
     prior = jnp.where(is_root[:, None], tree.root_prior, raw_prior)
-    cs = _child_edge_stats(tree, bidx, node)
+    if cs is None:
+        cs = _child_edge_stats(tree, bidx, node)
     child_w = cs["w"]
     child_q = cs["u"]
     has_child = cs["live"]
@@ -716,6 +776,27 @@ def _select_action(cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: 
         force = force & is_root[:, None]
         selection = jnp.where(force, jnp.inf, selection)
 
+    # rootHintLoc forced selection (searchexplorehelpers.cpp:155-168): the
+    # hint move is forced while its weight (plus ~one visit's worth) trails
+    # 80% of the heaviest sibling's.
+    hint = tree.root_hint
+    hint_safe = jnp.maximum(hint, 0)
+    has_hint = (hint >= 0) & is_root
+    if True:  # cheap [B] ops; root_hint is -1 everywhere when unused
+        pwpv = node_stats[:, S_W] / jnp.maximum(node_stats[:, S_VISITS], 1.0)
+        hint_w = child_w[bidx, hint_safe]
+        hint_v = cs["cvis"][bidx, hint_safe]
+        avg_wpv = (hint_w + pwpv) / (hint_v + 1.0)
+        max_sib = child_w.max(-1)
+        force_hint = (
+            has_hint
+            & (hint_w + avg_wpv < 0.8 * max_sib)
+            & (prior[bidx, hint_safe] >= 0)
+        )
+        selection = selection.at[bidx, hint_safe].set(
+            jnp.where(force_hint, jnp.inf, selection[bidx, hint_safe])
+        )
+
     return jnp.argmax(selection, axis=-1)
 
 
@@ -742,20 +823,41 @@ def _simulate_once(
     acts0 = jnp.zeros((B, max_depth + 1), jnp.int32)
 
     def cond(carry):
-        _, _, active_, _, _, _ = carry
+        active_ = carry[2]
         return jnp.any(active_)
 
+    # edge_visits rides the descent loop as a MUTABLE carry and traversed
+    # edges are incremented as we walk (the reference's addEdgeVisits on the
+    # unwind — order is irrelevant for counts, and a path never repeats an
+    # edge since the game DAG is acyclic). Capturing it as a loop invariant
+    # and scattering the path afterwards made XLA copy the [B,N,A] buffer
+    # in and out of the loop every sim (~250µs/sim, profiled).
     def body(carry):
-        node, depth, active_, path, acts, catch = carry
+        node, depth, active_, path, acts, catch, ev, it, save = carry
         is_root = node == 0
         term = tree.is_terminal[bidx, node]
-        act = _select_action(cfg, sp, tree, node, is_root)
+        tr_ev = tree._replace(edge_visits=ev)
+        cs_raw = _gather_child_stats(tr_ev, bidx, node)
+        # Save the gathered rows for the backup pass: all still-active games
+        # sit at level `it`, so one dynamic row write stores the whole level.
+        # Backup then patches the single changed column instead of
+        # re-gathering — sound because Coffee's DAG is graded by stone count
+        # (all of a node's children live exactly one ply deeper, so the only
+        # child whose stats a playout changes is the path child).
+        save = jax.lax.dynamic_update_index_in_dim(
+            save,
+            jnp.where(active_[:, None, None], cs_raw, jax.lax.dynamic_index_in_dim(save, it, 1, keepdims=False)),
+            it,
+            1,
+        )
+        cs = _edge_stats_from_raw(tr_ev, bidx, node, cs_raw)
+        act = _select_action(cfg, sp, tr_ev, node, is_root, cs=cs)
         child = tree.children[bidx, node, act]
         has_child = child >= 0
         cidx = jnp.maximum(child, 0)
 
         if sp.useGraphSearch:
-            evis = tree.edge_visits[bidx, node, act]
+            evis = ev[bidx, node, act]
             cvis = tree.stats[bidx, cidx, S_VISITS]
             want_catch = has_child & (evis.astype(jnp.float32) < cvis - 0.5)
             if sp.graphSearchCatchUpLeakProb > 0.0:
@@ -771,6 +873,7 @@ def _simulate_once(
         acts = acts.at[bidx, jnp.where(active_ & ~term, depth, max_depth)].set(
             jnp.where(active_ & ~term, act, acts[:, max_depth])
         )
+        ev = ev.at[bidx, node, act].add((move_on & act_mask).astype(jnp.int32))
         new_node = jnp.where(move_on, cidx, node)
         new_depth = jnp.where(move_on, depth + 1, depth)
         path = path.at[bidx, jnp.where(move_on, new_depth, 0)].set(
@@ -778,15 +881,25 @@ def _simulate_once(
         )
         catch = catch | (active_ & want_catch & ~term)
         new_active = move_on & (new_depth < max_depth)
-        return new_node, new_depth, new_active, path, acts, catch
+        return new_node, new_depth, new_active, path, acts, catch, ev, it + 1, save
 
     node0 = jnp.zeros((B,), jnp.int32)
     depth0 = jnp.zeros((B,), jnp.int32)
     active0 = jnp.ones((B,), bool)
     catch0 = jnp.zeros((B,), bool)
-    leaf, leaf_depth, _, path, act_path, caught = jax.lax.while_loop(
-        cond, body, (node0, depth0, active0, path0, acts0, catch0)
+    A = tree.prior.shape[-1]
+    save0 = jnp.zeros((B, max_depth + 1, A, NUM_STATS), jnp.float32)
+    leaf, leaf_depth, _, path, act_path, caught, ev_out, _, level_stats = (
+        jax.lax.while_loop(
+            cond,
+            body,
+            (
+                node0, depth0, active0, path0, acts0, catch0,
+                tree.edge_visits, jnp.asarray(0, jnp.int32), save0,
+            ),
+        )
     )
+    tree = tree._replace(edge_visits=ev_out)
     action = act_path[bidx, leaf_depth]  # the stopping edge's action
 
     caught = caught & act_mask
@@ -803,11 +916,10 @@ def _simulate_once(
     if sp.useGraphSearch:
         new_hash = jax.vmap(functools.partial(situation_hash, cfg))(new_states)  # [B,2]
         slot_valid = jnp.arange(tree.stats.shape[1])[None, :] < tree.node_count[:, None]
-        hmatch = (
-            slot_valid
-            & (tree.sit_hash[:, :, 0] == new_hash[:, 0:1])
-            & (tree.sit_hash[:, :, 1] == new_hash[:, 1:2])
-        )
+        # compare both hash words with a minor-dim reduce; slicing the words
+        # out separately made XLA pick a channel-major layout for sit_hash
+        # and insert a transpose copy every sim (profiled)
+        hmatch = slot_valid & (tree.sit_hash == new_hash[:, None, :]).all(-1)
         found = hmatch.any(axis=1) & expanding
         found_idx = jnp.argmax(hmatch, axis=1)
     else:
@@ -928,18 +1040,7 @@ def _simulate_once(
         )
     )
 
-    # ---------------- Traversed-edge visits ----------------
-    # Every edge walked through on the way down gets one visit
-    # (addEdgeVisits on the unwind in the reference). One scatter: levels
-    # 0..leaf_depth-1 of (path[l], act_path[l]). A path never repeats an edge
-    # (the game DAG is acyclic — stones only accumulate), so adds don't alias.
-    lvl = jnp.arange(max_depth)[None, :]
-    on_edge = (lvl < leaf_depth[:, None]) & act_mask[:, None]
-    tree = tree._replace(
-        edge_visits=tree.edge_visits.at[
-            bidx[:, None], path[:, :max_depth], act_path[:, :max_depth]
-        ].add(on_edge.astype(jnp.int32))
-    )
+    # (traversed-edge visits were already added during the descent loop)
 
     # ---------------- Backup ----------------
     # Recompute stats bottom-up along the path (updateStatsAfterPlayout →
@@ -966,7 +1067,21 @@ def _simulate_once(
         l = max_depth - i
         n = path[:, l]
         on_path = (l <= limit) & (n >= 0) & (l <= leaf_depth) & act_mask
-        tr = _recompute_node(cfg, sp, tr, n, on_path)
+        # Children's raw stat rows from the descent's save buffer, with the
+        # one column this playout changed (the path/new/linked child at the
+        # level's recorded action) re-read fresh — no einsum re-gather.
+        cs_raw = jax.lax.dynamic_index_in_dim(
+            level_stats, jnp.minimum(l, max_depth), 1, keepdims=False
+        )
+        bidx_ = jnp.arange(n.shape[0])
+        pa = act_path[bidx_, jnp.minimum(l, max_depth)]
+        pchild = tr.children[bidx_, n, pa]
+        pok = pchild >= 0
+        prow = tr.stats[bidx_, jnp.maximum(pchild, 0)]
+        cs_raw = cs_raw.at[bidx_, pa].set(
+            jnp.where(pok[:, None], prow, cs_raw[bidx_, pa])
+        )
+        tr = _recompute_node(cfg, sp, tr, n, on_path, cs_raw=cs_raw)
         if use_bias:
             return (tr.stats, tr.bias_table, tr.last_bias_delta, tr.last_bias_weight)
         return (tr.stats,)
@@ -995,16 +1110,21 @@ def _norm_cdf(z):
     return 0.5 * (1.0 + jax.lax.erf(z / jnp.sqrt(2.0)))
 
 
-def _recompute_node(cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: jax.Array):
+def _recompute_node(
+    cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: jax.Array, cs_raw=None
+):
     """recomputeNodeStats for [B] nodes (searchupdatehelpers.cpp:152-337):
     aggregate child edges with noise pruning + value-based downweighting,
     update the subtree-value-bias entry, and add the node's (biased) direct
-    eval. One packed row write per node."""
+    eval. One packed row write per node. `cs_raw` [B, A, 8] optionally
+    supplies the children's raw stat rows (skips the einsum gather)."""
     B = node.shape[0]
     bidx = jnp.arange(B)
     is_root = node == 0
 
-    cs = _child_edge_stats(tree, bidx, node)
+    if cs_raw is None:
+        cs_raw = _gather_child_stats(tree, bidx, node)
+    cs = _edge_stats_from_raw(tree, bidx, node, cs_raw)
     cw, cu, cwl, cdraw, cusq, cwsq = (
         cs["w"], cs["u"], cs["wl"], cs["draw"], cs["usq"], cs["wsq"],
     )
@@ -1146,6 +1266,7 @@ def run_search(
     reuse_tree: Tree | None = None,
     reuse_actions: jax.Array | None = None,
     reuse_ok: jax.Array | None = None,
+    root_hint: jax.Array | None = None,
 ) -> Tree:
     """runWholeSearch equivalent (search.cpp:361-509): playouts for each of
     the B games, fully on device. jit this (closing over cfg/sp/eval_fn/
@@ -1165,7 +1286,9 @@ def run_search(
     k_init, k_sims = jax.random.split(rng)
 
     if reuse_tree is None:
-        tree = init_tree(cfg, sp, eval_fn, root_states, max_nodes, k_init)
+        tree = init_tree(
+            cfg, sp, eval_fn, root_states, max_nodes, k_init, root_hint=root_hint
+        )
 
         def body(_, carry):
             tree, rng = carry
@@ -1178,7 +1301,7 @@ def run_search(
 
     tree = advance_root(
         cfg, sp, eval_fn, reuse_tree, reuse_actions, root_states, k_init,
-        reuse_ok=reuse_ok,
+        reuse_ok=reuse_ok, root_hint=root_hint,
     )
     target = float(num_sims + 1)
 
@@ -1207,6 +1330,7 @@ def advance_root(
     rng: jax.Array,
     reuse_ok: jax.Array | None = None,
     turn_number: jax.Array | None = None,
+    root_hint: jax.Array | None = None,
 ) -> Tree:
     """Re-root each game's tree at the child reached by `actions` —
     the reference's beginSearch tree reuse (search.cpp:262-331), as an array
@@ -1226,7 +1350,7 @@ def advance_root(
     k_eval, k_noise1, k_noise2 = jax.random.split(rng, 3)
     res = _root_eval(cfg, sp, eval_fn, root_states, k_eval)
     fresh = _tree_from_root_eval(
-        cfg, sp, root_states, res, N, k_noise1, turn_number
+        cfg, sp, root_states, res, N, k_noise1, turn_number, root_hint
     )
 
     new_root = tree.children[bidx, 0, actions]  # [B]
@@ -1309,7 +1433,7 @@ def advance_root(
     legal = reused_raw >= 0
     reused_root_prior = _make_root_prior(
         cfg, sp, jnp.maximum(reused_raw, 0.0), legal,
-        root_states, k_noise2, turn_number,
+        root_states, k_noise2, turn_number, root_hint,
     )
     reused_rank = (
         g3(tree.policy_rank).at[:, 0].set(fresh.policy_rank[:, 0])
@@ -1335,6 +1459,7 @@ def advance_root(
         last_bias_delta=last_bd,
         last_bias_weight=last_bw,
         bias_table=table,
+        root_hint=fresh.root_hint,
     )
 
     def merge(r, f):

@@ -75,6 +75,13 @@ class SelfplaySettings:
     # fraction of episodes starting from a startpos_pool position
     # (startPosesProb, selfplay1.cfg:37)
     startposes_prob: float = 0.0
+    # fraction of episodes starting from a hintpos_pool position
+    # (hintPosesProb, selfplay1.cfg:41): the position's recorded move becomes
+    # rootHintLoc for the episode's FIRST search (2% policy shift + forced
+    # selection, searchhelpers.cpp:206-218 / searchexplorehelpers.cpp:155).
+    # Deviation (docs/DESIGN.md): the reference's 4x visit bump on hint moves
+    # is skipped — per-game visit budgets gate the whole lockstep batch.
+    hintposes_prob: float = 0.0
     # Side-position forking (sidePositionProb, selfplay1.cfg:58 = 0.020;
     # play.cpp:1328-1345): with this probability per recorded move, fork the
     # position with a random NON-played move (70% policy temp 1, 25% policy
@@ -117,6 +124,7 @@ class Trajectory(NamedTuple):
     policy_init: jax.Array  # [T, B] row was a policy-init opening move
     fork_states: GameState  # [T, B, ...] side-position forks (post fork move)
     fork_valid: jax.Array  # [T, B] fork lane holds a real side position
+    hint_first: jax.Array  # [T, B] row searched with an active rootHintLoc
 
 
 class TrainingBatch(NamedTuple):
@@ -172,6 +180,7 @@ def run_selfplay_segment(
     rng: jax.Array,
     num_moves: int,
     startpos_pool: tuple[GameState, jax.Array] | None = None,
+    hintpos_pool: tuple[GameState, jax.Array, jax.Array] | None = None,
 ):
     """Advance B games `num_moves` plies. Returns (new_states, new_episode_id,
     Trajectory). jit with static cfg/sp/settings/eval_fn/num_moves.
@@ -180,7 +189,12 @@ def run_selfplay_segment(
     `settings.startposes_prob`, a resetting episode begins from a sampled
     start position instead of the empty board (the reference's startPosesProb
     game initialization, play.h:69-142; policy-init does not apply to those
-    episodes, selfplay1.cfg:44 semantics)."""
+    episodes, selfplay1.cfg:44 semantics).
+
+    `hintpos_pool` = (states [K], probs [K], hint_actions [K]): with prob
+    `settings.hintposes_prob`, a resetting episode begins from a hint
+    position whose recorded move is rootHintLoc for the first search
+    (hintPosesProb; play.cpp:424-446,885-901)."""
 
     B = states.board.shape[0]
     max_nodes = settings.max_nodes or max(64, int(settings.num_sims * settings.node_budget_frac) + 2)
@@ -193,11 +207,12 @@ def run_selfplay_segment(
         return jnp.floor(e * cfg.area * settings.policy_init_area_prop).astype(jnp.int32)
 
     def one_move(carry, key):
-        st, ep, prev_tree, prev_action, reuse_ok, init_left = carry
+        st, ep, prev_tree, prev_action, reuse_ok, init_left, hint_act = carry
         k_search, k_move, k_init_move, k_init_len = jax.random.split(key, 4)
         tree = mcts.run_search(
             cfg, sp, eval_fn, st, settings.num_sims, k_search, max_nodes,
             reuse_tree=prev_tree, reuse_actions=prev_action, reuse_ok=reuse_ok,
+            root_hint=hint_act,
         )
         pt = mcts.policy_target(tree, sp)
         raw_policy = jnp.maximum(tree.prior[:, 0], 0.0)
@@ -243,6 +258,7 @@ def run_selfplay_segment(
             raw_policy=raw_policy,
             raw_value=raw_value,
             policy_init=is_init,
+            hint_first=hint_act >= 0,
         )
         # side-position forking (play.cpp:1328-1345)
         if settings.side_position_prob > 0.0:
@@ -279,6 +295,24 @@ def run_selfplay_segment(
                 fresh,
                 picked,
             )
+        from_hintpos = jnp.zeros((B,), bool)
+        hint_new = jnp.full((B,), -1, jnp.int32)
+        if hintpos_pool is not None and settings.hintposes_prob > 0.0:
+            pool_h, probs_h, hints_h = hintpos_pool
+            k_h1, k_h2 = jax.random.split(jax.random.fold_in(key, 9))
+            from_hintpos = jax.random.uniform(k_h1, (B,)) < settings.hintposes_prob
+            idx_h = jax.random.categorical(
+                k_h2, jnp.log(jnp.maximum(probs_h, 1e-30))[None, :].repeat(B, 0)
+            )
+            picked_h = jax.tree_util.tree_map(lambda x: x[idx_h], pool_h)
+            fresh = jax.tree_util.tree_map(
+                lambda f, p: jnp.where(
+                    jnp.reshape(from_hintpos, (-1,) + (1,) * (f.ndim - 1)), p, f
+                ),
+                fresh,
+                picked_h,
+            )
+            hint_new = jnp.where(from_hintpos, hints_h[idx_h], -1)
         new_st = jax.tree_util.tree_map(
             lambda n, f: jnp.where(
                 jnp.reshape(nxt.done, (-1,) + (1,) * (n.ndim - 1)), f, n
@@ -287,18 +321,23 @@ def run_selfplay_segment(
             fresh,
         )
         new_ep = ep + nxt.done.astype(jnp.int32)
-        # policy-init does not apply to startpos episodes
+        # policy-init does not apply to startpos/hintpos episodes
         new_init_left = jnp.where(
             nxt.done,
-            jnp.where(from_startpos, 0, sample_init_len(k_init_len)),
+            jnp.where(from_startpos | from_hintpos, 0, sample_init_len(k_init_len)),
             jnp.maximum(init_left - 1, 0),
         )
+        # a hint applies only at the hint position itself — the episode's
+        # first search (hintTurn == current turn, play.cpp:892-894)
+        new_hint = jnp.where(nxt.done, hint_new, -1)
         if settings.tree_reuse:
             # next move reuses the played child's subtree unless the episode
             # just reset (the child is the done-state, not the fresh board)
-            new_carry = (new_st, new_ep, tree, action, ~nxt.done, new_init_left)
+            new_carry = (new_st, new_ep, tree, action, ~nxt.done, new_init_left, new_hint)
         else:
-            new_carry = (new_st, new_ep, prev_tree, prev_action, reuse_ok, new_init_left)
+            new_carry = (
+                new_st, new_ep, prev_tree, prev_action, reuse_ok, new_init_left, new_hint
+            )
         return new_carry, rec
 
     k_init, k_len0, rng = jax.random.split(rng, 3)
@@ -317,6 +356,7 @@ def run_selfplay_segment(
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), bool),
         init_left0,
+        jnp.full((B,), -1, jnp.int32),
     )
     keys = jax.random.split(rng, num_moves)
     (new_states, new_ep, *_), recs = jax.lax.scan(one_move, carry0, keys)
@@ -441,12 +481,24 @@ def finalize_targets(
         zb_board,
         zb_board,
     )
+    # Hint rows: the first search's value is corrupted by the hint's forced
+    # playouts — use the NEXT search's value (negated to this mover) instead,
+    # as the reference copies whiteValueTargetsByTurn[0] from [1]
+    # (play.cpp:1465-1470).
+    wl_in, draw_in = traj.root_wl, traj.root_draw
+    if settings.hintposes_prob > 0.0:
+        wl_next = jnp.concatenate([wl_in[1:], wl_in[-1:]], axis=0)
+        draw_next = jnp.concatenate([draw_in[1:], draw_in[-1:]], axis=0)
+        use_next = traj.hint_first & ~traj.done_after
+        wl_in = jnp.where(use_next, -wl_next, wl_in)
+        draw_in = jnp.where(use_next, draw_next, draw_in)
+
     xs = (
         traj.done_after,
         traj.winner_after.astype(jnp.int32),
         mover,
-        traj.root_wl,
-        traj.root_draw,
+        wl_in,
+        draw_in,
         traj.policy_target,
         traj.final_board,
     )

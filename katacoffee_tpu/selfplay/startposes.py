@@ -31,9 +31,15 @@ def load_startposes(
     turn_weight_lambda: float = 0.0,
     max_positions: int = 4096,
     include_final: bool = False,
-) -> tuple[GameState, np.ndarray] | None:
+    with_hints: bool = False,
+) -> tuple[GameState, np.ndarray] | tuple[GameState, np.ndarray, np.ndarray] | None:
     """Returns (states stacked [K], sampling probs [K]) or None if no
-    usable positions. `paths` is a dir (recursed) or a list of SGF files."""
+    usable positions. `paths` is a dir (recursed) or a list of SGF files.
+
+    with_hints additionally returns hint actions [K] int32: the move the
+    source game played FROM each position (-1 when none, e.g. placement
+    setups) — the reference's hintposes (Sgf::PositionSample hintLoc, mined
+    by dataminesgfs; consumed via hintPosesProb)."""
     if isinstance(paths, str):
         files = []
         for root, _dirs, names in os.walk(paths):
@@ -43,6 +49,7 @@ def load_startposes(
 
     states: list[GameState] = []
     weights: list[float] = []
+    hints: list[int] = []
     step1 = jax.jit(lambda s, a: step(cfg, s, a))
     for path in files:
         try:
@@ -66,6 +73,7 @@ def load_startposes(
                 )
             )
             weights.append(1.0)
+            hints.append(-1)
             continue
         s = init_state(cfg)
         for t, (x, y, d, _pla) in enumerate(moves):
@@ -76,6 +84,12 @@ def load_startposes(
                 break
             states.append(s)
             weights.append(math.exp(-turn_weight_lambda * (t + 1)))
+            # the hint for this position is the game's NEXT move
+            if t + 1 < len(moves):
+                hx, hy, hd, _ = moves[t + 1]
+                hints.append(hd * cfg.area + hy * cfg.x_size + hx)
+            else:
+                hints.append(-1)
             if len(states) >= max_positions:
                 break
         if len(states) >= max_positions:
@@ -85,4 +99,7 @@ def load_startposes(
         return None
     pool = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
     w = np.asarray(weights, np.float64)
-    return pool, (w / w.sum()).astype(np.float32)
+    probs = (w / w.sum()).astype(np.float32)
+    if with_hints:
+        return pool, probs, np.asarray(hints, np.int32)
+    return pool, probs
