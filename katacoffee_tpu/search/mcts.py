@@ -805,12 +805,24 @@ def _select_action(
 # ---------------------------------------------------------------------------
 
 
+def make_sim_scratch(cfg, tree: Tree, max_depth: int) -> jax.Array:
+    """Scratch buffer for the descent's per-level child-stats save
+    (allocate ONCE and thread through the sim loop — re-zeroing 22MB every
+    sim costs ~50µs; stale slots are only ever read masked)."""
+    B = tree.stats.shape[0]
+    A = tree.prior.shape[-1]
+    return jnp.zeros((B, max_depth + 1, A, NUM_STATS), jnp.float32)
+
+
 def _simulate_once(
     cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_depth: int,
     active: jax.Array | None = None,
+    scratch: jax.Array | None = None,
 ):
     """One playout per game. `active` [B] masks out games whose playout is a
-    no-op (used by visit-target searches over reused trees)."""
+    no-op (used by visit-target searches over reused trees). `scratch` from
+    make_sim_scratch is threaded through by callers to avoid per-sim
+    allocation; returns (tree, rng, scratch)."""
     B = tree.stats.shape[0]
     bidx = jnp.arange(B)
     k_leak, k_eval, rng = jax.random.split(rng, 3)
@@ -887,8 +899,7 @@ def _simulate_once(
     depth0 = jnp.zeros((B,), jnp.int32)
     active0 = jnp.ones((B,), bool)
     catch0 = jnp.zeros((B,), bool)
-    A = tree.prior.shape[-1]
-    save0 = jnp.zeros((B, max_depth + 1, A, NUM_STATS), jnp.float32)
+    save0 = scratch if scratch is not None else make_sim_scratch(cfg, tree, max_depth)
     leaf, leaf_depth, _, path, act_path, caught, ev_out, _, level_stats = (
         jax.lax.while_loop(
             cond,
@@ -1103,7 +1114,7 @@ def _simulate_once(
         )
     else:
         tree = tree._replace(stats=mut[0])
-    return tree, rng
+    return tree, rng, level_stats
 
 
 def _norm_cdf(z):
@@ -1290,13 +1301,17 @@ def run_search(
             cfg, sp, eval_fn, root_states, max_nodes, k_init, root_hint=root_hint
         )
 
-        def body(_, carry):
-            tree, rng = carry
-            k, rng = jax.random.split(rng)
-            tree, _ = _simulate_once(cfg, sp, eval_fn, tree, k, max_depth)
-            return tree, rng
+        scratch0 = make_sim_scratch(cfg, tree, max_depth)
 
-        tree, _ = jax.lax.fori_loop(0, num_sims, body, (tree, k_sims))
+        def body(_, carry):
+            tree, rng, scratch = carry
+            k, rng = jax.random.split(rng)
+            tree, _, scratch = _simulate_once(
+                cfg, sp, eval_fn, tree, k, max_depth, scratch=scratch
+            )
+            return tree, rng, scratch
+
+        tree, _, _ = jax.lax.fori_loop(0, num_sims, body, (tree, k_sims, scratch0))
         return tree
 
     tree = advance_root(
@@ -1304,19 +1319,24 @@ def run_search(
         reuse_ok=reuse_ok, root_hint=root_hint,
     )
     target = float(num_sims + 1)
+    scratch0 = make_sim_scratch(cfg, tree, max_depth)
 
     def cond(carry):
-        tree, rng, it = carry
+        tree, rng, it, scratch = carry
         return (it < num_sims) & jnp.any(tree.stats[:, 0, S_VISITS] < target)
 
     def body(carry):
-        tree, rng, it = carry
+        tree, rng, it, scratch = carry
         k, rng = jax.random.split(rng)
         active = tree.stats[:, 0, S_VISITS] < target
-        tree, _ = _simulate_once(cfg, sp, eval_fn, tree, k, max_depth, active=active)
-        return tree, rng, it + 1
+        tree, _, scratch = _simulate_once(
+            cfg, sp, eval_fn, tree, k, max_depth, active=active, scratch=scratch
+        )
+        return tree, rng, it + 1, scratch
 
-    tree, _, _ = jax.lax.while_loop(cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32)))
+    tree, _, _, _ = jax.lax.while_loop(
+        cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32), scratch0)
+    )
     return tree
 
 

@@ -93,12 +93,24 @@ def compute_losses(cfg: GameConfig, model, params, batch: TrainingBatch, symmetr
         jnp.where(opp_ok, _ce(out["opponent_policy_logits"], opp_target), 0.0),
         weights=w * batch.opponent_policy_weight,
     )
-    # optimistic policy: trained toward the actual played outcome-weighted
-    # target — v1 simplification: same target as policy but weighted by how
-    # surprisingly WELL the game went for the mover (reference v12+ optimistic
-    # policy is outcome-upweighted; metrics 'loss_policy_optimistic' analog)
-    z = batch.value_target[:, 0] - batch.value_target[:, 1]  # +1 win, -1 loss
-    optimism_w = jnp.clip(z, 0.0, 1.0)
+    # optimistic policy (reference v12+ long+short optimistic heads merged
+    # into our single head; metrics_pytorch.py:534-596, Go score terms
+    # dropped): train toward the normal policy target but weighted toward
+    # rows where the game went surprisingly WELL for the mover — final win
+    # squared (draws count half, squaring discourages them), or the
+    # shortterm value outcome landing ~1.5 sigma above the net's own
+    # prediction. Side rows are excluded (the reference multiplies by the
+    # ownership weight, which is 0 there — our aux_weight).
+    st_probs = jax.nn.softmax(out["td_value_logits"][:, 2, :], axis=-1)
+    st_predv = jax.lax.stop_gradient(st_probs[:, 0] - st_probs[:, 1])
+    st_realv = batch.td_value_targets[:, 2, 0] - batch.td_value_targets[:, 2, 1]
+    win_eff = batch.value_target[:, 0] + 0.5 * batch.value_target[:, 2]
+    excess = (st_realv - st_predv) / jnp.sqrt(
+        jax.lax.stop_gradient(jnp.maximum(out["shortterm_error"], 0.0)) + 1e-4
+    )
+    optimism_w = jnp.clip(
+        win_eff * win_eff + jax.nn.sigmoid((excess - 1.5) * 3.0), 0.0, 1.0
+    ) * batch.aux_weight
     loss_opt = 0.15 * wmean(
         jnp.where(pt_ok, _ce(out["optimistic_policy_logits"], policy_target), 0.0),
         weights=w * optimism_w,
@@ -146,10 +158,7 @@ def compute_losses(cfg: GameConfig, model, params, batch: TrainingBatch, symmetr
 
     # shortterm value error: huber toward realized squared error of the
     # short-horizon (index 2) TD prediction (metrics_pytorch.py:236-243)
-    td_probs = jax.nn.softmax(out["td_value_logits"][:, 2, :], axis=-1)
-    predv = jax.lax.stop_gradient(td_probs[:, 0] - td_probs[:, 1])
-    realv = batch.td_value_targets[:, 2, 0] - batch.td_value_targets[:, 2, 1]
-    sqerr = jnp.square(predv - realv) + 1e-8
+    sqerr = jnp.square(st_predv - st_realv) + 1e-8
     loss_sterr = 2.0 * wmean(
         _huber(out["shortterm_error"], sqerr, delta=0.4), weights=wa
     )
