@@ -1117,18 +1117,373 @@ def _simulate_once(
     return tree, rng, level_stats
 
 
+def make_round_scratch(cfg, tree: Tree, max_depth: int, K: int) -> jax.Array:
+    """Per-level child-stats save for the K-playout round."""
+    B = tree.stats.shape[0]
+    A = tree.prior.shape[-1]
+    return jnp.zeros((B, max_depth + 1, K, A, NUM_STATS), jnp.float32)
+
+
+def _simulate_round(
+    cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_depth: int, K: int,
+    active: jax.Array | None = None,
+    scratch: jax.Array | None = None,
+):
+    """K playouts per game in one round — the lockstep analogue of the
+    reference's numSearchThreads parallel playouts (searchparams.h:111,
+    search.cpp:361-509: N threads on one tree, diversified by virtual
+    losses). The K playouts descend LEVEL-SYNCHRONOUSLY: at each level every
+    playout selects from the live tree plus the in-flight edge visits of the
+    playouts ordered before it (counting an in-flight traversal as an edge
+    visit is the virtual-loss analogue — it shrinks the PUCT urgency
+    P/(1+w) of already-claimed edges). All K leaves share ONE batched NN
+    forward; expansions apply sequentially (so later playouts link to nodes
+    allocated earlier in the same round, including same-edge collisions);
+    backup recomputes each distinct path node once per level with the
+    combined visit count.
+
+    `active` [B, K] masks playout slots (visit-target searches hand out only
+    the remaining deficit). Returns (tree, rng, scratch)."""
+    B = tree.stats.shape[0]
+    bidx = jnp.arange(B)
+    k_leak, k_eval, rng = jax.random.split(rng, 3)
+    act_mask = jnp.ones((B, K), bool) if active is None else active
+
+    D = max_depth
+    path0 = jnp.full((B, K, D + 1), -1, jnp.int32).at[:, :, 0].set(0)
+    acts0 = jnp.zeros((B, K, D + 1), jnp.int32)
+
+    def cond(carry):
+        return jnp.any(carry[2])
+
+    def body(carry):
+        node, depth, active_, path, acts, catch, ev, it, save = carry
+        level_rows = []
+        for k in range(K):
+            tr_ev = tree._replace(edge_visits=ev)
+            nk = node[:, k]
+            ak = active_[:, k]
+            is_root = nk == 0
+            term = tree.is_terminal[bidx, nk]
+            cs_raw = _gather_child_stats(tr_ev, bidx, nk)
+            level_rows.append(cs_raw)
+            cs = _edge_stats_from_raw(tr_ev, bidx, nk, cs_raw)
+            act = _select_action(cfg, sp, tr_ev, nk, is_root, cs=cs)
+            child = tree.children[bidx, nk, act]
+            has_child = child >= 0
+            cidx = jnp.maximum(child, 0)
+
+            if sp.useGraphSearch:
+                evis = ev[bidx, nk, act]
+                cvis = tree.stats[bidx, cidx, S_VISITS]
+                want_catch = has_child & (evis.astype(jnp.float32) < cvis - 0.5)
+                if sp.graphSearchCatchUpLeakProb > 0.0:
+                    u = jax.random.uniform(
+                        jax.random.fold_in(k_leak, k), (B, D + 1)
+                    )
+                    leak = (
+                        u[bidx, jnp.minimum(depth[:, k], D)]
+                        < sp.graphSearchCatchUpLeakProb
+                    )
+                    want_catch = want_catch & ~leak
+            else:
+                want_catch = jnp.zeros((B,), bool)
+
+            stop = term | want_catch | ~has_child
+            move_on = ak & ~stop
+            acts = acts.at[bidx, k, jnp.where(ak & ~term, depth[:, k], D)].set(
+                jnp.where(ak & ~term, act, acts[:, k, D])
+            )
+            ev = ev.at[bidx, nk, act].add(
+                (move_on & act_mask[:, k]).astype(jnp.int32)
+            )
+            nd = jnp.where(move_on, depth[:, k] + 1, depth[:, k])
+            node = node.at[:, k].set(jnp.where(move_on, cidx, nk))
+            depth = depth.at[:, k].set(nd)
+            path = path.at[bidx, k, jnp.where(move_on, nd, 0)].set(
+                jnp.where(move_on, cidx, path[:, k, 0])
+            )
+            catch = catch.at[:, k].set(catch[:, k] | (ak & want_catch & ~term))
+            active_ = active_.at[:, k].set(move_on & (nd < D))
+        lvl = jnp.stack(level_rows, axis=1)  # [B, K, A, 8]
+        old = jax.lax.dynamic_index_in_dim(save, it, 1, keepdims=False)
+        save = jax.lax.dynamic_update_index_in_dim(
+            save, jnp.where(active_.any(-1)[:, None, None, None], lvl, old), it, 1
+        )
+        return node, depth, active_, path, acts, catch, ev, it + 1, save
+
+    node0 = jnp.zeros((B, K), jnp.int32)
+    depth0 = jnp.zeros((B, K), jnp.int32)
+    active0 = jnp.ones((B, K), bool)
+    catch0 = jnp.zeros((B, K), bool)
+    save0 = scratch if scratch is not None else make_round_scratch(cfg, tree, D, K)
+    leaf, leaf_depth, _, path, act_path, caught, ev_out, _, level_stats = (
+        jax.lax.while_loop(
+            cond,
+            body,
+            (
+                node0, depth0, active0, path0, acts0, catch0,
+                tree.edge_visits, jnp.asarray(0, jnp.int32), save0,
+            ),
+        )
+    )
+    tree = tree._replace(edge_visits=ev_out)
+    action = jnp.take_along_axis(act_path, leaf_depth[:, :, None], axis=2)[:, :, 0]
+
+    caught = caught & act_mask
+    leaf_terminal = tree.is_terminal[bidx[:, None], leaf] & act_mask
+
+    # ---------------- One batched eval for all K leaves ----------------
+    leaf_states = jax.tree_util.tree_map(
+        lambda x: x[bidx[:, None], leaf].reshape((B * K,) + x.shape[2:]),
+        tree.states,
+    )
+    new_states_flat = jax.vmap(functools.partial(step, cfg))(
+        leaf_states, action.reshape(B * K)
+    )
+    res_flat = eval_fn(new_states_flat, k_eval)
+
+    def slice_k(x, k):
+        return x.reshape((B, K) + x.shape[1:])[:, k]
+
+    use_bias = sp.subtreeValueBiasFactor != 0.0
+    revisits = []
+    for k in range(K):
+        new_states = jax.tree_util.tree_map(
+            functools.partial(slice_k, k=k), new_states_flat
+        )
+        res = EvalResult(*(slice_k(x, k) for x in res_flat))
+        leaf_k = leaf[:, k]
+        action_k = action[:, k]
+        caught_k = caught[:, k]
+        mask_k = act_mask[:, k]
+        term_leaf_k = leaf_terminal[:, k]
+        expanding = ~tree.is_terminal[bidx, leaf_k] & ~caught_k & mask_k
+
+        # a playout earlier in this round may have created this very child
+        child_now = tree.children[bidx, leaf_k, action_k]
+        has_now = child_now >= 0
+
+        if sp.useGraphSearch:
+            new_hash = jax.vmap(functools.partial(situation_hash, cfg))(new_states)
+            slot_valid = (
+                jnp.arange(tree.stats.shape[1])[None, :] < tree.node_count[:, None]
+            )
+            hmatch = slot_valid & (tree.sit_hash == new_hash[:, None, :]).all(-1)
+            hfound = hmatch.any(axis=1)
+            hidx = jnp.argmax(hmatch, axis=1)
+        else:
+            new_hash = None
+            hfound = jnp.zeros((B,), bool)
+            hidx = jnp.zeros((B,), jnp.int32)
+        found = (hfound | has_now) & expanding
+        found_idx = jnp.where(has_now, child_now, hidx)
+
+        new_idx = tree.node_count
+        capacity_ok = new_idx < tree.stats.shape[1]
+        do_alloc = expanding & ~found & capacity_ok
+        do_link = expanding & found
+        overflow = expanding & ~found & ~capacity_ok
+
+        new_terminal = new_states.done
+        term_util = _terminal_utility(new_states)
+        legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(new_states)
+        new_prior = jnp.where(legal, res.policy, -1.0)
+        u_raw = jnp.where(new_terminal, term_util, res.utility)
+        wl_new = jnp.where(new_terminal, term_util, res.wl)
+        d_new = jnp.where(
+            new_terminal, (new_states.winner == 0).astype(jnp.float32), res.draw
+        )
+        w_new = jnp.where(new_terminal, 1.0, _eval_weight(sp, res.shortterm_error))
+
+        if use_bias:
+            new_keys = _bias_keys(cfg, new_states)
+            u_init = u_raw + jnp.where(
+                new_terminal, 0.0, _bias_avg(sp, tree, bidx, new_keys)
+            )
+        else:
+            new_keys = jnp.zeros((B,), jnp.int32)
+            u_init = u_raw
+
+        slot = jnp.where(do_alloc, new_idx, 0)
+
+        def upd(arr, val, do_alloc=do_alloc, slot=slot):
+            old = arr[bidx, slot]
+            return arr.at[bidx, slot].set(jnp.where(do_alloc, val, old))
+
+        def upd_row(arr, val, do_alloc=do_alloc, slot=slot):
+            old = arr[bidx, slot]
+            return arr.at[bidx, slot].set(jnp.where(do_alloc[:, None], val, old))
+
+        sit_hash = (
+            upd_row(tree.sit_hash, new_hash) if sp.useGraphSearch else tree.sit_hash
+        )
+
+        one = jnp.ones((B,), jnp.float32)
+        new_stats_row = _stats_row(
+            one, w_new, w_new * w_new, u_init, u_init * u_init, wl_new, d_new
+        )
+        new_self_row = jnp.stack([u_raw, wl_new, d_new, w_new], axis=-1)
+
+        new_child_idx = jnp.where(do_link, found_idx, new_idx)
+        tree = tree._replace(
+            states=jax.tree_util.tree_map(
+                lambda full, new: full.at[bidx, slot].set(
+                    jnp.where(
+                        jnp.reshape(do_alloc, (B,) + (1,) * (new.ndim - 1)),
+                        new,
+                        full[bidx, slot],
+                    )
+                ),
+                tree.states,
+                new_states,
+            ),
+            stats=upd_row(tree.stats, new_stats_row),
+            self_stats=upd_row(tree.self_stats, new_self_row),
+            prior=upd_row(tree.prior, new_prior),
+            policy_rank=(
+                tree.policy_rank.at[bidx, slot].set(
+                    jnp.where(
+                        do_alloc[:, None],
+                        _policy_ranks(new_prior),
+                        tree.policy_rank[bidx, slot],
+                    )
+                )
+                if sp.useNoisePruning
+                else tree.policy_rank
+            ),
+            parent=upd(tree.parent, leaf_k),
+            parent_action=upd(tree.parent_action, action_k),
+            is_terminal=upd(tree.is_terminal, new_terminal),
+            sit_hash=sit_hash,
+            bias_key=upd(tree.bias_key, new_keys) if use_bias else tree.bias_key,
+            children=tree.children.at[bidx, leaf_k, action_k].set(
+                jnp.where(
+                    do_alloc | do_link,
+                    new_child_idx,
+                    tree.children[bidx, leaf_k, action_k],
+                )
+            ),
+            node_count=tree.node_count + do_alloc.astype(jnp.int32),
+        )
+
+        edge_inc = (do_alloc | do_link | caught_k).astype(jnp.int32)
+        tree = tree._replace(
+            edge_visits=tree.edge_visits.at[bidx, leaf_k, action_k].add(edge_inc)
+        )
+
+        revisit = term_leaf_k | overflow
+        leaf_row = tree.stats[bidx, leaf_k]
+        leaf_self = tree.self_stats[bidx, leaf_k]
+        lw = leaf_self[:, F_W]
+        old_ws = leaf_row[:, S_W]
+        new_ws = old_ws + lw
+        inv = 1.0 / jnp.maximum(new_ws, _EPS)
+        lu = leaf_self[:, F_U]
+        revisit_row = _stats_row(
+            leaf_row[:, S_VISITS] + 1.0,
+            new_ws,
+            leaf_row[:, S_WSQ] + lw * lw,
+            (leaf_row[:, S_U] * old_ws + lu * lw) * inv,
+            (leaf_row[:, S_USQ] * old_ws + lu * lu * lw) * inv,
+            (leaf_row[:, S_WL] * old_ws + leaf_self[:, F_WL] * lw) * inv,
+            (leaf_row[:, S_DRAW] * old_ws + leaf_self[:, F_DRAW] * lw) * inv,
+        )
+        tree = tree._replace(
+            stats=tree.stats.at[bidx, leaf_k].set(
+                jnp.where(revisit[:, None], revisit_row, leaf_row)
+            )
+        )
+        revisits.append(revisit)
+
+    revisit = jnp.stack(revisits, axis=1)  # [B, K]
+
+    # ---------------- Union backup ----------------
+    # Bottom-up over levels; each distinct path node is recomputed ONCE with
+    # the combined visit count of the playouts that traversed it; every
+    # column any playout changed is patched fresh from the save buffer.
+    limit = jnp.where(revisit, leaf_depth - 1, leaf_depth)  # [B, K]
+
+    def backup_level(i, mut):
+        if use_bias:
+            tr = tree._replace(
+                stats=mut[0],
+                bias_table=mut[1],
+                last_bias_delta=mut[2],
+                last_bias_weight=mut[3],
+            )
+        else:
+            tr = tree._replace(stats=mut[0])
+        l = D - i
+        lc = jnp.minimum(l, D)
+        lvl_save = jax.lax.dynamic_index_in_dim(level_stats, lc, 1, keepdims=False)
+        nodes_l = jax.lax.dynamic_index_in_dim(path, lc, 2, keepdims=False)  # [B, K]
+        pa_l = jax.lax.dynamic_index_in_dim(act_path, lc, 2, keepdims=False)  # [B, K]
+        on_path = (l <= limit) & (l <= leaf_depth) & act_mask & (nodes_l >= 0)
+        for k in range(K):
+            n_k = nodes_l[:, k]
+            op_k = on_path[:, k]
+            dup = jnp.zeros((B,), bool)
+            cnt = op_k.astype(jnp.float32)
+            for j in range(K):
+                if j == k:
+                    continue
+                same = on_path[:, j] & (nodes_l[:, j] == n_k)
+                if j < k:
+                    dup = dup | same
+                else:
+                    cnt = cnt + same.astype(jnp.float32)
+            first = op_k & ~dup
+            cs_raw = lvl_save[:, k]  # [B, A, 8]
+            # patch every column some playout changed at this node
+            for j in range(K):
+                same_j = on_path[:, j] & (nodes_l[:, j] == n_k)
+                pa_j = pa_l[:, j]
+                pchild = tr.children[bidx, n_k, pa_j]
+                pok = same_j & (pchild >= 0)
+                prow = tr.stats[bidx, jnp.maximum(pchild, 0)]
+                cs_raw = cs_raw.at[bidx, pa_j].set(
+                    jnp.where(pok[:, None], prow, cs_raw[bidx, pa_j])
+                )
+            tr = _recompute_node(
+                cfg, sp, tr, n_k, first, cs_raw=cs_raw, visit_inc=cnt
+            )
+        if use_bias:
+            return (tr.stats, tr.bias_table, tr.last_bias_delta, tr.last_bias_weight)
+        return (tr.stats,)
+
+    deepest = jnp.max(jnp.where(act_mask, limit, 0))
+    if use_bias:
+        mut0 = (tree.stats, tree.bias_table, tree.last_bias_delta, tree.last_bias_weight)
+    else:
+        mut0 = (tree.stats,)
+    mut = jax.lax.fori_loop(D - deepest, D + 1, backup_level, mut0)
+    if use_bias:
+        tree = tree._replace(
+            stats=mut[0],
+            bias_table=mut[1],
+            last_bias_delta=mut[2],
+            last_bias_weight=mut[3],
+        )
+    else:
+        tree = tree._replace(stats=mut[0])
+    return tree, rng, level_stats
+
+
 def _norm_cdf(z):
     return 0.5 * (1.0 + jax.lax.erf(z / jnp.sqrt(2.0)))
 
 
 def _recompute_node(
-    cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: jax.Array, cs_raw=None
+    cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: jax.Array, cs_raw=None,
+    visit_inc: jax.Array | float = 1.0,
 ):
     """recomputeNodeStats for [B] nodes (searchupdatehelpers.cpp:152-337):
     aggregate child edges with noise pruning + value-based downweighting,
     update the subtree-value-bias entry, and add the node's (biased) direct
     eval. One packed row write per node. `cs_raw` [B, A, 8] optionally
-    supplies the children's raw stat rows (skips the einsum gather)."""
+    supplies the children's raw stat rows (skips the einsum gather);
+    `visit_inc` [B] is how many playouts traversed the node this round."""
     B = node.shape[0]
     bidx = jnp.arange(B)
     is_root = node == 0
@@ -1246,7 +1601,7 @@ def _recompute_node(
     inv = 1.0 / jnp.maximum(weight_sum, _EPS)
     old_row = tree.stats[bidx, node]
     new_row = _stats_row(
-        old_row[:, S_VISITS] + 1.0,
+        old_row[:, S_VISITS] + visit_inc,
         weight_sum,
         (scaling * scaling * cwsq).sum(-1) + self_w * self_w,
         (util_children_sum + self_w * self_u) * inv,
@@ -1296,10 +1651,32 @@ def run_search(
     max_depth = cfg.area + 1
     k_init, k_sims = jax.random.split(rng)
 
+    K = max(1, int(sp.numSearchThreads))
+
     if reuse_tree is None:
         tree = init_tree(
             cfg, sp, eval_fn, root_states, max_nodes, k_init, root_hint=root_hint
         )
+
+        if K > 1:
+            scratch0 = make_round_scratch(cfg, tree, max_depth, K)
+            rounds = -(-num_sims // K)
+
+            def body(r, carry):
+                tree, rng, scratch = carry
+                k, rng = jax.random.split(rng)
+                B = tree.stats.shape[0]
+                # last round hands out only the remainder of the budget
+                slot = r * K + jnp.arange(K)[None, :]
+                active = jnp.broadcast_to(slot < num_sims, (B, K))
+                tree, _, scratch = _simulate_round(
+                    cfg, sp, eval_fn, tree, k, max_depth, K,
+                    active=active, scratch=scratch,
+                )
+                return tree, rng, scratch
+
+            tree, _, _ = jax.lax.fori_loop(0, rounds, body, (tree, k_sims, scratch0))
+            return tree
 
         scratch0 = make_sim_scratch(cfg, tree, max_depth)
 
@@ -1319,6 +1696,31 @@ def run_search(
         reuse_ok=reuse_ok, root_hint=root_hint,
     )
     target = float(num_sims + 1)
+
+    if K > 1:
+        scratch0 = make_round_scratch(cfg, tree, max_depth, K)
+
+        def cond(carry):
+            tree, rng, it, scratch = carry
+            return (it < num_sims) & jnp.any(tree.stats[:, 0, S_VISITS] < target)
+
+        def body(carry):
+            tree, rng, it, scratch = carry
+            k, rng = jax.random.split(rng)
+            # hand each game only its remaining visit deficit in slots
+            deficit = target - tree.stats[:, 0, S_VISITS]
+            active = jnp.arange(K)[None, :] < deficit[:, None]
+            tree, _, scratch = _simulate_round(
+                cfg, sp, eval_fn, tree, k, max_depth, K,
+                active=active, scratch=scratch,
+            )
+            return tree, rng, it + 1, scratch
+
+        tree, _, _, _ = jax.lax.while_loop(
+            cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32), scratch0)
+        )
+        return tree
+
     scratch0 = make_sim_scratch(cfg, tree, max_depth)
 
     def cond(carry):

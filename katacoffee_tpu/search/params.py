@@ -24,6 +24,16 @@ import dataclasses
 class SearchParams:
     winLossUtilityFactor: float = 1.0
 
+    # Parallel playouts per search round (the reference's numSearchThreads,
+    # searchparams.h:111: N threads share one tree with virtual losses).
+    # Here: K playouts descend level-synchronously per round, diversified by
+    # counting in-flight traversals as edge visits (virtual-visit analogue),
+    # share ONE batched NN eval, and back up together. K=1 is the exact
+    # sequential semantics; K>1 trades a small selection-staleness
+    # approximation (the reference's threads accept the same) for
+    # per-round fixed-cost amortization.
+    numSearchThreads: int = 1
+
     # PUCT exploration (searchexplorehelpers.cpp:9-45)
     cpuctExploration: float = 1.0
     cpuctExplorationLog: float = 0.0
