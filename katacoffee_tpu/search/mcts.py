@@ -856,12 +856,11 @@ def _simulate_once(
         # re-gathering — sound because Coffee's DAG is graded by stone count
         # (all of a node's children live exactly one ply deeper, so the only
         # child whose stats a playout changes is the path child).
-        save = jax.lax.dynamic_update_index_in_dim(
-            save,
-            jnp.where(active_[:, None, None], cs_raw, jax.lax.dynamic_index_in_dim(save, it, 1, keepdims=False)),
-            it,
-            1,
-        )
+        # The write is UNCONDITIONAL: stopped games overwrite slices above
+        # their stopping depth, which backup never reads (limit-masked) — a
+        # read-modify-write formulation forced XLA to copy the whole buffer
+        # every level (76µs/level, profiled).
+        save = jax.lax.dynamic_update_index_in_dim(save, cs_raw, it, 1)
         cs = _edge_stats_from_raw(tr_ev, bidx, node, cs_raw)
         act = _select_action(cfg, sp, tr_ev, node, is_root, cs=cs)
         child = tree.children[bidx, node, act]
@@ -1205,11 +1204,10 @@ def _simulate_round(
             )
             catch = catch.at[:, k].set(catch[:, k] | (ak & want_catch & ~term))
             active_ = active_.at[:, k].set(move_on & (nd < D))
+        # unconditional slice write — see _simulate_once (stale slices are
+        # never read; a read-modify-write copies the whole buffer per level)
         lvl = jnp.stack(level_rows, axis=1)  # [B, K, A, 8]
-        old = jax.lax.dynamic_index_in_dim(save, it, 1, keepdims=False)
-        save = jax.lax.dynamic_update_index_in_dim(
-            save, jnp.where(active_.any(-1)[:, None, None, None], lvl, old), it, 1
-        )
+        save = jax.lax.dynamic_update_index_in_dim(save, lvl, it, 1)
         return node, depth, active_, path, acts, catch, ev, it + 1, save
 
     node0 = jnp.zeros((B, K), jnp.int32)
@@ -1781,17 +1779,27 @@ def advance_root(
         has = has & reuse_ok
     new_root_safe = jnp.maximum(new_root, 0)
 
-    # reachability from the new root via parent-pointer doubling
+    # Reachability from the new root via parent-pointer doubling. All
+    # per-step lookups ride one-hot matmuls: [B,N]-indexed gathers serialize
+    # on TPU (profiled: the gather formulation of this function cost ~1.6s
+    # PER MOVE at the selfplay operating point, dominating the search
+    # itself). 0/1 matmuls are exact in any precision; the pointer-value
+    # matmul uses HIGHEST so integer node indices survive exactly.
     valid_slot = nidx[None, :] < tree.node_count[:, None]
-    reach = nidx[None, :] == new_root_safe[:, None]
+    reach = (nidx[None, :] == new_root_safe[:, None]).astype(jnp.float32)
     ptr = tree.parent
+    parent_f = tree.parent.astype(jnp.float32)
     steps = max(1, (N - 1).bit_length())
     for _ in range(steps):
         ptr_safe = jnp.maximum(ptr, 0)
-        up = jnp.where(ptr >= 0, reach[bidx[:, None], ptr_safe], False)
-        reach = reach | up
-        ptr = jnp.where(ptr >= 0, tree.parent[bidx[:, None], ptr_safe], -1)
-    kept = reach & valid_slot
+        hot = jax.nn.one_hot(ptr_safe, N, dtype=jnp.float32)  # [B, N, N]
+        up = jnp.einsum("bmn,bn->bm", hot, reach)
+        reach = jnp.maximum(reach, jnp.where(ptr >= 0, up, 0.0))
+        ptr_up = jnp.einsum(
+            "bmn,bn->bm", hot, parent_f, precision=jax.lax.Precision.HIGHEST
+        )
+        ptr = jnp.where(ptr >= 0, ptr_up.astype(jnp.int32), -1)
+    kept = (reach > 0.5) & valid_slot
 
     # stable permutation: new root first, then other kept nodes, then free
     key = jnp.where(nidx[None, :] == new_root_safe[:, None], 0, jnp.where(kept, 1, 2))
@@ -1802,8 +1810,34 @@ def advance_root(
     n_kept = kept.sum(axis=1)
     live = nidx[None, :] < n_kept[:, None]  # mask in NEW index space
 
-    def g2(arr):  # [B, N] / [B, N, ...] gather by the permutation
-        return arr[bidx[:, None], order]
+    # Apply the permutation with ONE one-hot matmul per array (P[b,new,old]),
+    # not [B,N]-indexed gathers (see above). HIGHEST precision keeps integer
+    # payloads (indices, int8 boards) exact as f32 values; uint32 hash words
+    # are split into f32-exact 16-bit halves by the caller.
+    P = jax.nn.one_hot(order, N, dtype=jnp.float32)  # [B, N(new), N(old)]
+
+    def g2(arr):
+        shape = arr.shape
+        dt = arr.dtype
+        flat = arr.reshape(B, N, -1)
+        out = jnp.einsum(
+            "bmn,bnc->bmc",
+            P,
+            flat.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if dt == jnp.bool_:
+            return (out > 0.5).reshape(shape)
+        if jnp.issubdtype(dt, jnp.integer):
+            return jnp.round(out).astype(dt).reshape(shape)
+        return out.astype(dt).reshape(shape)
+
+    def g2_u32(arr):  # [B, N] or [B, N, C] uint32, via 16-bit halves
+        lo = (arr & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        hi = (arr >> jnp.uint32(16)).astype(jnp.float32)
+        lo_p = jnp.round(g2(lo)).astype(jnp.uint32)
+        hi_p = jnp.round(g2(hi)).astype(jnp.uint32)
+        return (hi_p << jnp.uint32(16)) | lo_p
 
     g3 = g2
 
@@ -1863,8 +1897,11 @@ def advance_root(
         else tree.policy_rank
     )
 
+    def g_any(x):  # dtype-dispatched permute (states contain uint32 hashes)
+        return g2_u32(x) if x.dtype == jnp.uint32 else g2(x)
+
     reused = Tree(
-        states=jax.tree_util.tree_map(lambda x: x[bidx[:, None], order], tree.states),
+        states=jax.tree_util.tree_map(g_any, tree.states),
         stats=jnp.where(live[:, :, None], g3(tree.stats), 0.0),
         self_stats=jnp.where(live[:, :, None], g3(tree.self_stats), 0.0),
         prior=reused_prior,
@@ -1875,7 +1912,7 @@ def advance_root(
         parent_action=g2(tree.parent_action),
         is_terminal=jnp.where(live, g2(tree.is_terminal), False),
         node_count=n_kept,
-        sit_hash=g3(tree.sit_hash),
+        sit_hash=g2_u32(tree.sit_hash),
         policy_rank=reused_rank,
         bias_key=bias_key,
         last_bias_delta=last_bd,
