@@ -21,6 +21,9 @@ Core engines:
   demoplay     watch the engine play itself
   samplesgfs   sample SGF positions into a startposes dir
   dataminesgfs mine surprising positions from SGFs via batched search
+  viewstartposes   print start-position pools (boards, weights, hints)
+  trystartposes    search each start position and print the chosen move
+  sampleinitializations  sample policy-initialized openings
 
 Training pipeline (shared -base-dir layout):
   selfplay     training-data generation daemon
@@ -165,6 +168,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "dataminesgfs":
         from katacoffee_tpu.command.misc import main_dataminesgfs as m
+
+        m(args)
+        return 0
+    if cmd == "viewstartposes":
+        from katacoffee_tpu.command.misc import main_viewstartposes as m
+
+        m(args)
+        return 0
+    if cmd == "trystartposes":
+        from katacoffee_tpu.command.misc import main_trystartposes as m
+
+        m(args)
+        return 0
+    if cmd == "sampleinitializations":
+        from katacoffee_tpu.command.misc import main_sampleinitializations as m
 
         m(args)
         return 0

@@ -214,3 +214,187 @@ def main_samplesgfs(argv, **kw):
                         f.write(text + "\n")
                     kept += 1
     print(f"sampled {kept} positions from {scanned} SGFs into {args.out_dir}")
+
+
+def main_viewstartposes(argv, **kw):
+    """View startposes (MainCmds::viewstartposes, misc.cpp:2388): print each
+    pool position's board, sampling weight, and hint move."""
+    import argparse
+
+    import numpy as np
+
+    from katacoffee_tpu.game import io as gio
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.selfplay.startposes import load_startposes
+
+    ap = argparse.ArgumentParser(prog="katacoffee viewstartposes")
+    ap.add_argument("-start-poses-dir", required=True)
+    ap.add_argument("-min-weight", type=float, default=0.0)
+    ap.add_argument("-idx", type=int, default=-1)
+    ap.add_argument("-turn-weight-lambda", type=float, default=0.0)
+    args = ap.parse_args(argv)
+
+    cfg = GameConfig(5, 5, 4)
+    out = load_startposes(
+        cfg, args.start_poses_dir,
+        turn_weight_lambda=args.turn_weight_lambda, with_hints=True,
+    )
+    if out is None:
+        print("no usable startposes")
+        return
+    pool, probs, hints = out
+    boards = np.asarray(pool.board)
+    to_move = np.asarray(pool.to_move)
+    turns = np.asarray(pool.num_turns)
+    idxs = [args.idx] if args.idx >= 0 else range(probs.shape[0])
+    shown = 0
+    for i in idxs:
+        if probs[i] < args.min_weight:
+            continue
+        hint = (
+            gio.action_to_string(int(hints[i]), cfg) if hints[i] >= 0 else "-"
+        )
+        mover = "black" if to_move[i] == 1 else "white"
+        print(
+            f"startpos {i}: weight {probs[i]:.5f} turn {turns[i]} "
+            f"{mover} to move, hint {hint}"
+        )
+        print(gio.board_to_string(boards[i], cfg))
+        shown += 1
+    print(f"{shown} positions")
+
+
+def main_trystartposes(argv, **kw):
+    """Run a batched search on each startpos and print the chosen move and
+    values (MainCmds::trystartposes, misc.cpp:2230)."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from katacoffee_tpu.game import io as gio
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.search import (
+        SearchParams,
+        make_nn_eval_fn,
+        run_search,
+        select_moves,
+        uniform_eval_fn,
+    )
+    from katacoffee_tpu.search.mcts import root_values
+    from katacoffee_tpu.selfplay.startposes import load_startposes
+
+    ap = argparse.ArgumentParser(prog="katacoffee trystartposes")
+    ap.add_argument("-start-poses-dir", required=True)
+    ap.add_argument("-model", default=None)
+    ap.add_argument("-visits", type=int, default=100)
+    ap.add_argument("-min-weight", type=float, default=0.0)
+    ap.add_argument("-max-positions", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    cfg = GameConfig(5, 5, 4)
+    if args.model:
+        from katacoffee_tpu.dataio.checkpoints import load_exported_model
+
+        model, params, cfg, meta = load_exported_model(args.model)
+        eval_fn = make_nn_eval_fn(cfg, model, params)
+        print(f"model: {meta['name']}")
+    else:
+        eval_fn = uniform_eval_fn(cfg)
+    out = load_startposes(cfg, args.start_poses_dir, with_hints=True)
+    if out is None:
+        print("no usable startposes")
+        return
+    pool, probs, hints = out
+    keep = np.where(np.asarray(probs) >= args.min_weight)[0][: args.max_positions]
+    roots = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)[keep]), pool)
+
+    sp = SearchParams.for_tests_v2()
+    tree = jax.jit(
+        lambda r, k: run_search(cfg, sp, eval_fn, r, args.visits, k)
+    )(roots, jax.random.PRNGKey(0))
+    moves = np.asarray(select_moves(cfg, sp, tree, jax.random.PRNGKey(1)))
+    vals = root_values(tree)
+    wl = np.asarray(vals["root_wl"])
+    boards = np.asarray(roots.board)
+    for j, i in enumerate(keep):
+        hint = gio.action_to_string(int(hints[i]), cfg) if hints[i] >= 0 else "-"
+        print(
+            f"startpos {i}: move {gio.action_to_string(int(moves[j]), cfg)} "
+            f"wl {wl[j]:+.3f} hint {hint}"
+        )
+        print(gio.board_to_string(boards[j], cfg))
+    print(f"tried {len(keep)} positions at {args.visits} visits")
+
+
+def main_sampleinitializations(argv, **kw):
+    """Sample policy-initialized openings and print them
+    (MainCmds::sampleinitializations, misc.cpp:2544): the same
+    ~Exponential()*area*prop raw-policy opening the selfplay actor uses
+    (PlayUtils::initializeGameUsingPolicy, playutils.cpp:147-174)."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from katacoffee_tpu.game import io as gio
+    from katacoffee_tpu.game.board import GameConfig, init_state
+    from katacoffee_tpu.game.jitted import vlegal_mask_flat_fn, vstep_fn
+    from katacoffee_tpu.search import make_nn_eval_fn, uniform_eval_fn
+
+    ap = argparse.ArgumentParser(prog="katacoffee sampleinitializations")
+    ap.add_argument("-model", default=None)
+    ap.add_argument("-num", type=int, default=1)
+    ap.add_argument("-evaluate", action="store_true")
+    ap.add_argument("-area-prop", type=float, default=0.04)
+    ap.add_argument("-temperature", type=float, default=1.0)
+    ap.add_argument("-seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    cfg = GameConfig(5, 5, 4)
+    if args.model:
+        from katacoffee_tpu.dataio.checkpoints import load_exported_model
+
+        model, params, cfg, meta = load_exported_model(args.model)
+        eval_fn = make_nn_eval_fn(cfg, model, params)
+        print(f"model: {meta['name']}")
+    else:
+        eval_fn = uniform_eval_fn(cfg)
+
+    B = args.num
+    key = jax.random.PRNGKey(args.seed)
+    k_len, key = jax.random.split(key)
+    lens = np.floor(
+        np.asarray(jax.random.exponential(k_len, (B,))) * cfg.area * args.area_prop
+    ).astype(int)
+    states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))
+    vstep = vstep_fn(cfg)
+    for t in range(int(lens.max()) if B else 0):
+        key, k_eval, k_move = jax.random.split(key, 3)
+        res = eval_fn(states, k_eval)
+        logits = jnp.where(
+            res.policy > 0,
+            jnp.log(jnp.maximum(res.policy, 1e-30)) / args.temperature,
+            -jnp.inf,
+        )
+        acts = jax.random.categorical(k_move, logits, axis=-1).astype(jnp.int32)
+        still = (jnp.asarray(lens) > t) & ~states.done
+        acts = jnp.where(still, acts, 0)
+        nxt = vstep(states, acts)
+        states = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(
+                jnp.reshape(still, (-1,) + (1,) * (n.ndim - 1)), n, o
+            ),
+            nxt,
+            states,
+        )
+    boards = np.asarray(states.board)
+    for i in range(B):
+        print(f"initialization {i}: {lens[i]} opening moves")
+        print(gio.board_to_string(boards[i], cfg))
+        if args.evaluate:
+            key, k_eval = jax.random.split(key)
+            res = eval_fn(states, k_eval)
+            print(f"  raw wl {float(res.wl[i]):+.3f} draw {float(res.draw[i]):.3f}")

@@ -352,3 +352,52 @@ class TestTimeControls:
         assert visits_for_time(2.0, 100.0, 600) == 200
         assert visits_for_time(100.0, 100.0, 600) == 600
         assert visits_for_time(0.0, 100.0, 600) == 2
+
+
+class TestStartposCommands:
+    """viewstartposes / trystartposes / sampleinitializations
+    (misc.cpp:2230,2388,2544)."""
+
+    @pytest.fixture()
+    def sgf_dir(self, tmp_path):
+        import random
+
+        from katacoffee_tpu.dataio.sgf import write_sgf
+        from tests.oracle import OracleGame
+
+        d = tmp_path / "sgfs"
+        d.mkdir()
+        rnd = random.Random(11)
+        g = OracleGame()
+        mv = []
+        while not g.done:
+            x, y, dd = rnd.choice(g.legal_moves())
+            mv.append((x, y, dd, g.to_move))
+            g.play(x, y, dd)
+        (d / "g.sgf").write_text(write_sgf(5, 5, 4, mv, "a", "b", winner=g.winner) + "\n")
+        return str(d)
+
+    def test_viewstartposes(self, sgf_dir, capsys):
+        from katacoffee_tpu.command.misc import main_viewstartposes
+
+        main_viewstartposes(["-start-poses-dir", sgf_dir, "-idx", "0"])
+        out = capsys.readouterr().out
+        assert "startpos 0" in out and "hint" in out and "positions" in out
+
+    def test_trystartposes(self, sgf_dir, capsys):
+        from katacoffee_tpu.command.misc import main_trystartposes
+
+        main_trystartposes(
+            ["-start-poses-dir", sgf_dir, "-visits", "12", "-max-positions", "3"]
+        )
+        out = capsys.readouterr().out
+        assert "tried 3 positions at 12 visits" in out
+        assert "move " in out and "wl " in out
+
+    def test_sampleinitializations(self, capsys):
+        from katacoffee_tpu.command.misc import main_sampleinitializations
+
+        main_sampleinitializations(["-num", "3", "-evaluate", "-seed", "2"])
+        out = capsys.readouterr().out
+        assert out.count("initialization ") == 3
+        assert "raw wl" in out
