@@ -90,6 +90,11 @@ def export_model(
     meta = {
         "name": name,
         "model": model_name,
+        # NNModelVersion role (modelversion.cpp:9-35): Coffee resets to
+        # version 1, whose input spec is the V1 feature planes; loaders
+        # reject models from a different inputs era
+        "model_version": 1,
+        "inputs_version": 1,
         "x_size": cfg.x_size,
         "y_size": cfg.y_size,
         "win_len": cfg.win_len,
@@ -115,6 +120,12 @@ def load_exported_model(model_dir: str):
 
     with open(os.path.join(model_dir, "model.json")) as f:
         meta = json.load(f)
+    iv = meta.get("inputs_version", 1)
+    if iv != 1:
+        raise ValueError(
+            f"{model_dir}: inputs_version {iv} unsupported (this build "
+            "implements V1 features; NNModelVersion role)"
+        )
     cfg = GameConfig(meta["x_size"], meta["y_size"], meta["win_len"])
     model = CoffeeNet(get_model_spec(meta["model"]), win_len=cfg.win_len)
     template = init_params(model, cfg, jax.random.PRNGKey(0))
