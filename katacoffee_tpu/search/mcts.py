@@ -913,8 +913,17 @@ def _simulate_once(
     action = act_path[bidx, leaf_depth]  # the stopping edge's action
 
     caught = caught & act_mask
-    leaf_terminal = tree.is_terminal[bidx, leaf] & act_mask
-    expanding = ~tree.is_terminal[bidx, leaf] & ~caught & act_mask
+    # Depth-capped playouts (leaf_depth == max_depth — only possible with a
+    # finite maxPlayoutDepthProp cap) already counted their final traversed
+    # edge in-loop; they expand nothing and back up from the final parent,
+    # exactly the catch-up bookkeeping. Their recorded stopping action is
+    # the dustbin slot — zero it so the (discarded) env step stays benign.
+    depth_capped = (leaf_depth >= max_depth) & act_mask
+    action = jnp.where(depth_capped, 0, action)
+    leaf_terminal = tree.is_terminal[bidx, leaf] & act_mask & ~depth_capped
+    expanding = (
+        ~tree.is_terminal[bidx, leaf] & ~caught & ~depth_capped & act_mask
+    )
 
     # ---------------- Expansion ----------------
     # For expanding games: step the env, evaluate, then either link to a
@@ -1058,7 +1067,7 @@ def _simulate_once(
     # overflow revisit the leaf was updated incrementally above, so start at
     # its parent; for expansion/link/catch-up start at the stopping node
     # itself (its child edges changed).
-    limit = jnp.where(revisit, leaf_depth - 1, leaf_depth)
+    limit = jnp.where(revisit | depth_capped, leaf_depth - 1, leaf_depth)
 
     # The loop carry holds ONLY the arrays backup mutates (stats + the bias
     # state). Carrying the whole Tree made XLA copy the untouched [B,N,A]
@@ -1646,10 +1655,24 @@ def run_search(
     maxVisits does, which is where tree reuse saves compute."""
     if max_nodes is None:
         max_nodes = num_sims + 2
+    # Descent depth bound. With graph search, a playout truncated by the
+    # bound stops at an existing child, hash-matches it in expansion, and
+    # claims one edge visit — the same bookkeeping as edge-visit catch-up,
+    # so a finite cap is a soft truncation, not an error. The lockstep
+    # descent runs max-over-batch levels per round, so a cap trims the
+    # deep-tail levels every game pays for (maxPlayoutDepthProp below 1
+    # trades bounded deep-line growth for wall time; quality-validate before
+    # lowering it in selfplay).
     max_depth = cfg.area + 1
+    if sp.useGraphSearch and sp.maxPlayoutDepthProp < 1.0:
+        max_depth = max(2, min(max_depth, int(round(max_depth * sp.maxPlayoutDepthProp))))
     k_init, k_sims = jax.random.split(rng)
 
     K = max(1, int(sp.numSearchThreads))
+    if K > 1 and sp.useGraphSearch and sp.maxPlayoutDepthProp < 1.0:
+        raise NotImplementedError(
+            "maxPlayoutDepthProp < 1 requires numSearchThreads == 1"
+        )
 
     if reuse_tree is None:
         tree = init_tree(

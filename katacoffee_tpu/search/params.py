@@ -34,6 +34,13 @@ class SearchParams:
     # per-round fixed-cost amortization.
     numSearchThreads: int = 1
 
+    # Lockstep-specific (no reference analog): cap playout descent depth at
+    # this fraction of (area+1). Truncated playouts claim an edge visit at
+    # their stopping edge via the graph-search hash match — the catch-up
+    # bookkeeping — so counts stay consistent; 1.0 = uncapped. Applies only
+    # with useGraphSearch (the hash match is what makes truncation sound).
+    maxPlayoutDepthProp: float = 1.0
+
     # PUCT exploration (searchexplorehelpers.cpp:9-45)
     cpuctExploration: float = 1.0
     cpuctExplorationLog: float = 0.0

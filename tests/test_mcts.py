@@ -286,3 +286,69 @@ class TestNorthStarConfig2:
         np.testing.assert_array_equal(np.asarray(tree.visits[:, 0]), 101)
         np.testing.assert_array_equal(rv.sum(-1), 100)
         assert (rv == rv[0]).all()
+
+
+from katacoffee_tpu.search import mcts  # noqa: E402  (depth-cap tests)
+
+
+class TestPlayoutDepthCap:
+    """maxPlayoutDepthProp (lockstep-specific soft truncation: capped
+    playouts claim an edge visit via the catch-up bookkeeping)."""
+
+    def test_capped_search_exact_visits_and_sane_tree(self):
+        import dataclasses
+
+        from katacoffee_tpu.game.board import init_state
+        from katacoffee_tpu.search.mcts import S_VISITS, root_visit_counts
+
+        sp = dataclasses.replace(
+            SearchParams.for_selfplay(),
+            rootNumSymmetriesToSample=1,
+            maxPlayoutDepthProp=0.3,  # max_depth 8 on 5x5
+        )
+        B = 4
+        roots = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), init_state(CFG)
+        )
+        tree = jax.jit(
+            lambda r, k: mcts.run_search(CFG, sp, uniform_eval_fn(CFG), r, 150, k)
+        )(roots, jax.random.PRNGKey(0))
+        visits = np.asarray(tree.stats[:, 0, S_VISITS])
+        np.testing.assert_allclose(visits, 151.0)
+        # all structural invariants hold: children point at allocated slots,
+        # no NaNs in live stats
+        nc = np.asarray(tree.node_count)
+        ch = np.asarray(tree.children)
+        for b in range(B):
+            live_ch = ch[b, : nc[b]]
+            assert live_ch.max() < nc[b]
+            assert np.isfinite(np.asarray(tree.stats[b, : nc[b]])).all()
+        # root edge visits conserve the budget
+        ev = np.asarray(root_visit_counts(tree)).sum(-1)
+        np.testing.assert_allclose(ev, 150)
+
+    def test_cap_matches_uncapped_at_low_visits(self):
+        """At 40 visits trees rarely exceed depth 8, so a 0.3 cap should
+        leave the chosen move distribution essentially unchanged."""
+        import dataclasses
+
+        from katacoffee_tpu.game.board import init_state
+        from katacoffee_tpu.search.mcts import root_visit_counts
+
+        B = 4
+        roots = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), init_state(CFG)
+        )
+        outs = {}
+        for prop in (1.0, 0.3):
+            sp = dataclasses.replace(
+                SearchParams(valueWeightExponent=0.0, useGraphSearch=True),
+                maxPlayoutDepthProp=prop,
+            )
+            tree = jax.jit(
+                lambda r, k, sp=sp: mcts.run_search(
+                    CFG, sp, uniform_eval_fn(CFG), r, 40, k
+                )
+            )(roots, jax.random.PRNGKey(5))
+            outs[prop] = np.asarray(root_visit_counts(tree))
+        np.testing.assert_array_equal(outs[1.0], outs[0.3])
