@@ -8,10 +8,13 @@ Reference equivalents (`cpp/book/book.{h,cpp}`, `cpp/command/genbook.cpp`):
   * node values from search (winloss from the node mover's perspective,
     visits), edges by raw action in a canonical orientation;
   * expansion policy → the reference ranks nodes by an elaborate cost model
-    (book.cpp); we use a simpler documented rule: expand the frontier node
-    with the highest path-probability × uncertainty, where path probability
-    multiplies the parents' policy priors — top-of-book lines get the
-    visits, like the reference's cost-based exploration;
+    (book.cpp: costPerMove compounding with move probabilities plus
+    biggestWLCostFromRoot penalties); we use a documented two-factor form
+    of the same idea: priority = path-probability × exp(−wl_cost/scale),
+    where path probability multiplies the parents' policy priors and
+    wl_cost accumulates, along the cheapest path, how much search utility
+    each ancestor's move sacrificed vs its best sibling — top-of-book and
+    near-optimal lines get the visits, refuted lines decay exponentially;
   * persistence: one JSON file (the reference's .katabook binary is a
     serialization detail, not a capability);
   * writebook → static HTML export (bookcssjs.cpp equivalent).
@@ -63,6 +66,12 @@ class BookNode:
     draw: float = 0.0
     visits: int = 0
     path_prob: float = 0.0  # max product of priors from the root
+    # Accumulated utility sacrificed vs best play on the cheapest root path
+    # reaching this node (the reference cost model's biggestWLCostFromRoot
+    # ingredient, book.cpp): at each ancestor, how much worse the taken
+    # child's search utility was than the best sibling's. Near-optimal lines
+    # get deep expansion; refuted lines decay exponentially.
+    wl_cost: float = 0.0
     expanded: bool = False
     edges: dict = dataclasses.field(default_factory=dict)  # action -> (child key, prior, visits)
 
@@ -91,11 +100,12 @@ class Book:
         root_state = init_state(cfg)
         self.root_key = self._add_state(root_state, path_prob=1.0)
 
-    def _add_state(self, state: GameState, path_prob: float) -> str:
+    def _add_state(self, state: GameState, path_prob: float, wl_cost: float = 0.0) -> str:
         key, sym = _canonical_key(self.cfg, state)
         if key in self.nodes:
             node = self.nodes[key]
             node.path_prob = max(node.path_prob, path_prob)
+            node.wl_cost = min(node.wl_cost, wl_cost)
             return key
         canon = S.apply_state(self.cfg, sym, state)
         self.nodes[key] = BookNode(
@@ -106,16 +116,26 @@ class Book:
             last_dir=int(canon.last_dir),
             num_turns=int(canon.num_turns),
             path_prob=path_prob,
+            wl_cost=wl_cost,
         )
         return key
 
     # ------------------------------------------------------------------
 
+    # frontier priority = reach probability discounted by the line's
+    # accumulated utility sacrifice (exp(-wl_cost/scale) — the documented
+    # simplification of the reference's per-node cost model, book.cpp:
+    # costPerMove × move-prob compounding × biggestWLCostFromRoot penalty)
+    COST_SCALE = 0.15
+
+    def _priority(self, n: BookNode) -> float:
+        return n.path_prob * math.exp(-max(n.wl_cost, 0.0) / self.COST_SCALE)
+
     def frontier(self, limit: int) -> list[str]:
-        """Unexpanded nodes ranked by path probability (the expansion-order
-        heuristic; see module docstring)."""
+        """Unexpanded nodes ranked by reach-probability × line-quality (see
+        _priority; module docstring)."""
         cand = [n for n in self.nodes.values() if not n.expanded]
-        cand.sort(key=lambda n: -n.path_prob)
+        cand.sort(key=lambda n: -self._priority(n))
         return [n.key for n in cand[:limit]]
 
     def expand(
@@ -165,6 +185,10 @@ class Book:
             order = np.argsort(-rv[i])
             added = 0
             st = node.state(cfg)
+            # best searched child utility (parent perspective) anchors the
+            # per-edge sacrifice for the cost model
+            visited = rv[i] > 0
+            best_u = float(child_u[i][visited].max()) if visited.any() else 0.0
             for a in order:
                 if added >= top_k or rv[i][a] <= 0:
                     break
@@ -174,12 +198,13 @@ class Book:
                     continue
                 child_state = step1(st, jnp.asarray(int(a), jnp.int32))
                 child_prob = node.path_prob * max(float(priors[i][a]), 1e-3)
+                child_cost = node.wl_cost + max(best_u - float(child_u[i][a]), 0.0)
                 if bool(child_state.done):
-                    ckey = self._add_state(child_state, child_prob)
+                    ckey = self._add_state(child_state, child_prob, child_cost)
                     self.nodes[ckey].expanded = True  # terminal: nothing to expand
                     self.nodes[ckey].winloss = -1.0 if int(child_state.winner) else 0.0
                 else:
-                    ckey = self._add_state(child_state, child_prob)
+                    ckey = self._add_state(child_state, child_prob, child_cost)
                 node.edges[int(a)] = (ckey, float(priors[i][a]), int(rv[i][a]))
                 added += 1
 
@@ -230,7 +255,8 @@ class Book:
                 k: {
                     **{f: getattr(n, f) for f in (
                         "board", "to_move", "last_spot", "last_dir", "num_turns",
-                        "winloss", "draw", "visits", "path_prob", "expanded",
+                        "winloss", "draw", "visits", "path_prob", "wl_cost",
+                        "expanded",
                     )},
                     "edges": {str(a): list(e) for a, e in n.edges.items()},
                 }
@@ -261,6 +287,7 @@ class Book:
                 draw=nd["draw"],
                 visits=nd["visits"],
                 path_prob=nd["path_prob"],
+                wl_cost=nd.get("wl_cost", 0.0),
                 expanded=nd["expanded"],
                 edges={int(a): tuple(e) for a, e in nd["edges"].items()},
             )

@@ -91,3 +91,45 @@ class TestBook:
         assert os.path.exists(root_page)
         text = open(root_page).read()
         assert "winloss" in text and "<table" in text
+
+
+class TestCostModel:
+    """Expansion priority = path_prob x exp(-wl_cost/scale)
+    (book.cpp cost-model role)."""
+
+    def test_frontier_prefers_cheap_lines(self):
+        import jax.numpy as jnp
+
+        from katacoffee_tpu.book.book import Book
+        from katacoffee_tpu.game.board import init_state, step
+
+        book = Book(CFG)
+        s = init_state(CFG)
+        # three children of the root with equal path probability but
+        # different accumulated costs
+        keys = []
+        for i, (a, cost) in enumerate([(0, 0.0), (1, 0.30), (2, 0.05)]):
+            st = step(CFG, s, jnp.asarray(a))
+            keys.append(book._add_state(st, path_prob=0.2, wl_cost=cost))
+        book.nodes[book.root_key].expanded = True
+        frontier = book.frontier(3)
+        got = [book.nodes[k].wl_cost for k in frontier]
+        assert got == sorted(got), got
+
+    def test_wl_cost_roundtrips_and_min_merges(self, tmp_path):
+        import jax.numpy as jnp
+
+        from katacoffee_tpu.book.book import Book
+        from katacoffee_tpu.game.board import init_state, step
+
+        book = Book(CFG)
+        st = step(CFG, init_state(CFG), jnp.asarray(3))
+        k = book._add_state(st, 0.1, wl_cost=0.4)
+        # reached again via a cheaper path: cost takes the min
+        k2 = book._add_state(st, 0.05, wl_cost=0.1)
+        assert k == k2
+        assert book.nodes[k].wl_cost == 0.1
+        p = str(tmp_path / "b.json")
+        book.save(p)
+        loaded = Book.load(p)
+        assert loaded.nodes[k].wl_cost == 0.1
