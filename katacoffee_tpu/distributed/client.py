@@ -91,7 +91,8 @@ class ContributeClient:
             eval_fn = uniform_eval_fn(cfg)
         else:
             model, params, mcfg, meta = load_exported_model(model_dir)
-            eval_fn = make_nn_eval_fn(cfg, model, params)
+            # same eval randomization as the local selfplay daemon
+            eval_fn = make_nn_eval_fn(cfg, model, params, symmetry_randomize=True)
 
         sp = SearchParams.for_selfplay()
         settings = SelfplaySettings(num_sims=visits)
