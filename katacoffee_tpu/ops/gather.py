@@ -113,9 +113,16 @@ def gather_rows(table: jax.Array, idx: jax.Array, use_pallas: bool = False) -> j
     (~120µs vs ~220µs per call — the kernel's VMEM one-hot avoids HBM
     materialization but per-program overheads dominate at these sizes), so
     the default stays on the einsum; the kernel is kept for the larger
-    board shapes where the einsum's B·A·N materialization grows ruinous,
-    and as the scaffold for further in-kernel fusion (PUCT math on the
-    gathered rows). Opt in with use_pallas=True on TPU."""
+    board shapes where the einsum's B·A·N materialization grows ruinous.
+
+    Further fusion (PUCT selection math into the kernel) was ANALYZED AND
+    REJECTED for these shapes: per-game dynamic node rows either require
+    whole-table DMA per level (3×[B,N,A] ≈ 118MB of HBM traffic, far above
+    the einsum's 39MB one-hot) or a one-game-per-program grid whose
+    per-program overhead (≈3µs × 256) alone exceeds the entire current
+    per-level cost (~0.2ms). The selection math after the gather is ~60µs
+    of already-fused VPU work — there is no meaningful fusion headroom.
+    Opt in with use_pallas=True on TPU."""
     if use_pallas and _on_tpu():
         return _gather_rows_pallas(table, idx)
     return _gather_rows_xla(table, idx)
