@@ -58,15 +58,17 @@ def main():
         )
     )
 
-    # warmup/compile
+    # warmup/compile (forced host fetch — block_until_ready alone has been
+    # observed to return early through wedged tunneled runtimes; a value
+    # transfer either really waits or visibly hangs, never lies)
     s2, e2, traj = seg(states, ep, jax.random.PRNGKey(0))
-    jax.block_until_ready(traj.played_action)
+    float(jnp.sum(traj.played_action))
 
     segments_timed = 2
     t0 = time.perf_counter()
     for i in range(segments_timed):
         s2, e2, traj = seg(s2, e2, jax.random.PRNGKey(1 + i))
-    jax.block_until_ready(traj.played_action)
+    float(jnp.sum(traj.played_action))
     dt = time.perf_counter() - t0
 
     moves = moves_per_segment * segments_timed

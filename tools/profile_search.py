@@ -52,11 +52,11 @@ def timed_search(name, B, num_sims, reps=2, max_nodes=None):
         max_nodes = int(num_sims * 0.64)
     f = jax.jit(lambda s, r: run_search(cfg, sp, ev, s, num_sims, r, max_nodes=max_nodes))
     t = f(states, jax.random.PRNGKey(0))
-    jax.block_until_ready(t.stats)
+    float(jnp.sum(t.stats))  # forced fetch — block_until_ready can lie
     t0 = time.perf_counter()
     for i in range(reps):
         t = f(states, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(t.stats)
+    float(jnp.sum(t.stats))
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({"name": name, "B": B, "sims": num_sims, "sec": round(dt, 3),
                       "visits_per_s": round(B * num_sims / dt, 1)}), flush=True)
