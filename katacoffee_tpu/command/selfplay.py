@@ -232,11 +232,38 @@ def run_selfplay_daemon(
                 lambda ss, t, r: run_side_segment(cfg, sp, settings, ev, ss, t, r)
             )
 
+    def flush_pending():
+        nonlocal pending_trajs, total_rows, games_done
+        if not pending_trajs:
+            return
+        merged = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *pending_trajs
+        )
+        pending_trajs = []
+        batch = finalize_fn(merged)
+        total_rows += writer.add_batch(batch)
+        if spc.write_sgfs:
+            episodes = extract_episodes(cfg, merged)
+            games_done += len(episodes)
+            for i, (moves, winner) in enumerate(episodes):
+                text = write_sgf(
+                    cfg.x_size, cfg.y_size, cfg.win_len, moves,
+                    model_name, model_name, winner=winner,
+                )
+                path = os.path.join(sgf_dir, f"seg{seg:06d}_{i:04d}.sgf")
+                with open(path, "w") as f:
+                    f.write(text + "\n")
+
     while True:
         if seg % spc.poll_every_segments == 0:
             latest = find_latest_model(models_dir)
             if latest != current_model_dir:
                 if writer is not None:
+                    # finalize rows generated under the OLD model before the
+                    # swap, so they land in the old model's tdata/sgfs dirs
+                    # (the reference attributes data to the generating net,
+                    # selfplaymanager.h:24)
+                    flush_pending()
                     writer.flush()
                 current_model_dir = latest
                 if latest is None:
@@ -265,28 +292,6 @@ def run_selfplay_daemon(
         pending_trajs.append(jax.tree_util.tree_map(np.asarray, traj))
         seg += 1
 
-        def flush_pending():
-            nonlocal pending_trajs, total_rows, games_done
-            if not pending_trajs:
-                return
-            merged = jax.tree_util.tree_map(
-                lambda *xs: np.concatenate(xs, axis=0), *pending_trajs
-            )
-            pending_trajs = []
-            batch = finalize_fn(merged)
-            total_rows += writer.add_batch(batch)
-            if spc.write_sgfs:
-                episodes = extract_episodes(cfg, merged)
-                games_done += len(episodes)
-                for i, (moves, winner) in enumerate(episodes):
-                    text = write_sgf(
-                        cfg.x_size, cfg.y_size, cfg.win_len, moves,
-                        model_name, model_name, winner=winner,
-                    )
-                    path = os.path.join(sgf_dir, f"seg{seg:06d}_{i:04d}.sgf")
-                    with open(path, "w") as f:
-                        f.write(text + "\n")
-
         done_now = (
             spc.max_segments is not None and seg >= spc.max_segments
         ) or stop_requested["flag"]
@@ -300,8 +305,10 @@ def run_selfplay_daemon(
         if done_now:
             break
         if spc.max_rows is not None and total_rows >= spc.max_rows:
+            flush_pending()
             break
 
+    flush_pending()
     writer.flush()
     return total_rows
 
@@ -328,7 +335,8 @@ def main(argv, **kw):
     spc = SelfplayConfig(
         batch_size=c.get_int("numParallelGames", 256),
         num_sims=c.get_int("maxVisits", 600),
-        moves_per_segment=c.get_int("movesPerSegment", 64),
+        moves_per_segment=c.get_int("movesPerSegment", 16),
+        segments_per_flush=c.get_int("segmentsPerFlush", 4),
         max_segments=c.get_int("maxSegments", 0) or None,
         max_rows=c.get_int("maxRows", 0) or None,
         seed=c.get_int("seed", 0),

@@ -452,7 +452,13 @@ def _edge_stats_from_raw(tree: Tree, bidx, node, cs_raw):
     scale = evis / jnp.maximum(cvis, 1.0)
     live = has & (evis > 0)
     w = jnp.where(live, cs_raw[..., S_W] * scale, 0.0)
-    wsq = jnp.where(live, cs_raw[..., S_WSQ] * scale, 0.0)
+    # wsq scales by scale^2 so that downstream scalings compose to the
+    # reference's weightScaling^2 on the RAW weightSqSum
+    # (recomputeNodeStats, searchupdatehelpers.cpp:228,237: weightScaling =
+    # desired/rawWeightSum, applied squared); this also keeps the per-child
+    # ESS w^2/wsq invariant under edge scaling, matching the reference's use
+    # of raw child stats for the LCB radius.
+    wsq = jnp.where(live, cs_raw[..., S_WSQ] * scale * scale, 0.0)
     u = jnp.where(live, -cs_raw[..., S_U], 0.0)  # parent perspective
     usq = jnp.where(live, cs_raw[..., S_USQ], 0.0)
     wl = jnp.where(live, -cs_raw[..., S_WL], 0.0)
