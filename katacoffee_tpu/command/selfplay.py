@@ -101,6 +101,9 @@ class SelfplayConfig:
     startposes_turn_weight_lambda: float = 0.0
     # side-position forking (sidePositionProb, selfplay1.cfg:58)
     side_position_prob: float = 0.020
+    # whole-game forking (earlyForkGameProb/forkGameProb, selfplay1.cfg:26-33)
+    early_fork_game_prob: float = 0.040
+    fork_game_prob: float = 0.010
     # hint-position SGFs (hintPosesFromSgfDir / hintPosesProb): episodes
     # start at mined positions with the recorded move as rootHintLoc
     hintposes_dir: str | None = None
@@ -183,6 +186,8 @@ def run_selfplay_daemon(
             16,
             -(-int(spc.batch_size * spc.moves_per_segment * spc.side_position_prob * 2) // 8) * 8,
         ),
+        early_fork_game_prob=spc.early_fork_game_prob,
+        fork_game_prob=spc.fork_game_prob,
     )
     states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(spc.batch_size))
     ep = jnp.zeros((spc.batch_size,), jnp.int32)
@@ -208,8 +213,20 @@ def run_selfplay_daemon(
     side_fn = None
     side_state = None
 
+    # whole-game fork pool (selfplay/forking.py); candidates are extracted on
+    # the host at flush time, the NN fork-move choice is one batched device
+    # call, and the pool is a traced jit argument (refills don't recompile)
+    use_game_forks = settings.early_fork_game_prob > 0.0 or settings.fork_game_prob > 0.0
+    fork_pool = None
+    fork_fn = None
+    fork_np_rng = np.random.default_rng(spc.seed ^ 0x5EEDF04C)
+    if use_game_forks:
+        from katacoffee_tpu.selfplay.forking import init_fork_pool
+
+        fork_pool = init_fork_pool(cfg, settings.fork_pool_capacity)
+
     def build_for_model():
-        nonlocal segment_fn, writer, sgf_dir, side_fn, side_state
+        nonlocal segment_fn, writer, sgf_dir, side_fn, side_state, fork_fn
         out_base = os.path.join(base_dir, "selfplay", model_name)
         tdata = os.path.join(out_base, "tdata")
         sgf_dir = os.path.join(out_base, "sgfs")
@@ -217,10 +234,11 @@ def run_selfplay_daemon(
         writer = TrainingDataWriter(tdata, cfg, spc.max_rows_per_file)
         ev = eval_fn
 
-        def seg_fn(s, e, r):
+        def seg_fn(s, e, r, fp=None):
             return run_selfplay_segment(
                 cfg, sp, settings, ev, s, e, r, spc.moves_per_segment,
                 startpos_pool=startpos_pool, hintpos_pool=hintpos_pool,
+                fork_pool=fp,
             )
 
         segment_fn = jax.jit(seg_fn)
@@ -231,9 +249,22 @@ def run_selfplay_daemon(
             side_fn = jax.jit(
                 lambda ss, t, r: run_side_segment(cfg, sp, settings, ev, ss, t, r)
             )
+        if use_game_forks:
+            from katacoffee_tpu.selfplay.forking import choose_fork_moves
+
+            fork_fn = jax.jit(
+                lambda s, v, mc, fo, r: choose_fork_moves(
+                    cfg, ev, s, v, mc, fo, r,
+                    min_choices=settings.fork_game_min_choices,
+                    num_lanes=max(
+                        settings.early_fork_game_max_choices,
+                        settings.fork_game_max_choices,
+                    ),
+                )
+            )
 
     def flush_pending():
-        nonlocal pending_trajs, total_rows, games_done
+        nonlocal pending_trajs, total_rows, games_done, fork_pool
         if not pending_trajs:
             return
         merged = jax.tree_util.tree_map(
@@ -242,6 +273,45 @@ def run_selfplay_daemon(
         pending_trajs = []
         batch = finalize_fn(merged)
         total_rows += writer.add_batch(batch)
+        if use_game_forks and fork_fn is not None:
+            from katacoffee_tpu.selfplay.forking import (
+                extract_fork_candidates,
+                refill_pool,
+            )
+
+            cands = extract_fork_candidates(
+                cfg, merged, fork_np_rng,
+                early_fork_prob=settings.early_fork_game_prob,
+                early_fork_move_prop=settings.early_fork_game_expected_move_prop,
+                fork_prob=settings.fork_game_prob,
+                early_max_choices=settings.early_fork_game_max_choices,
+                fork_max_choices=settings.fork_game_max_choices,
+            )
+            if cands is not None:
+                Kf = settings.fork_pool_capacity
+                flat_idx, maxcs, forceds = (a[:Kf] for a in cands)
+                k = len(flat_idx)
+                pad = Kf - k
+                cstates = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(
+                        np.concatenate(
+                            [
+                                np.asarray(x).reshape((-1,) + x.shape[2:])[flat_idx],
+                                np.broadcast_to(
+                                    np.asarray(x).reshape((-1,) + x.shape[2:])[:1],
+                                    (pad,) + x.shape[2:],
+                                ),
+                            ]
+                        )
+                    ),
+                    merged.states,
+                )
+                cvalid = jnp.asarray(np.arange(Kf) < k)
+                cmax = jnp.asarray(np.concatenate([maxcs, np.zeros(pad, np.int32)]))
+                cforce = jnp.asarray(np.concatenate([forceds, np.full(pad, -1, np.int32)]))
+                fkey = jnp.asarray(fork_np_rng.integers(0, 2**31, size=2, dtype=np.uint32))
+                new_forks = fork_fn(cstates, cvalid, cmax, cforce, fkey)
+                fork_pool = refill_pool(fork_pool, new_forks)
         if spc.write_sgfs:
             episodes = extract_episodes(cfg, merged)
             games_done += len(episodes)
@@ -283,7 +353,10 @@ def run_selfplay_daemon(
             build_for_model()
 
         rng, k = jax.random.split(rng)
-        states, ep, traj = segment_fn(states, ep, k)
+        if use_game_forks:
+            states, ep, traj, fork_pool = segment_fn(states, ep, k, fork_pool)
+        else:
+            states, ep, traj = segment_fn(states, ep, k)
         if side_fn is not None:
             # the segment's queued side positions, one extra device call
             rng, k_side = jax.random.split(rng)
@@ -344,6 +417,8 @@ def main(argv, **kw):
         startposes_prob=c.get_float("startPosesProb", 0.0),
         startposes_turn_weight_lambda=c.get_float("startPosesTurnWeightLambda", 0.0),
         side_position_prob=c.get_float("sidePositionProb", 0.020),
+        early_fork_game_prob=c.get_float("earlyForkGameProb", 0.040),
+        fork_game_prob=c.get_float("forkGameProb", 0.010),
         hintposes_dir=c.get_string("hintPosesFromSgfDir", "") or None,
         hintposes_prob=c.get_float("hintPosesProb", 0.0),
     )

@@ -96,6 +96,22 @@ class SelfplaySettings:
     # a segment are dropped (expected forks = moves*B*prob*1.33; size with
     # ~2x headroom)
     side_position_capacity: int = 128
+    # Whole-game forking for opening diversity (Play::maybeForkGame,
+    # play.cpp:1741-1827; playsettings.h:29-35; selfplay1.cfg:26-33):
+    # finished episodes fork with prob early_fork_game_prob from a move
+    # ~ Exp()·area·early_fork_game_expected_move_prop (else with
+    # fork_game_prob from a uniform move); the fork plays the best of a few
+    # random legal moves per the value net and seeds a future episode.
+    # Candidates are spotted at flush time and pooled (selfplay/forking.py);
+    # resetting games consume the pool in-graph with priority over
+    # startposes/hintposes and skip policy-init openings (play.cpp:1921-1925).
+    early_fork_game_prob: float = 0.0  # selfplay1.cfg:26 = 0.04
+    early_fork_game_expected_move_prop: float = 0.025
+    fork_game_prob: float = 0.0  # selfplay1.cfg:28 = 0.01
+    fork_game_min_choices: int = 3
+    early_fork_game_max_choices: int = 12
+    fork_game_max_choices: int = 36
+    fork_pool_capacity: int = 64
     # Tree reuse between moves (beginSearch reuse, search.cpp:262-331):
     # each move's search starts from the played child's subtree and only
     # plays out the visit deficit — reused visits count toward num_sims
@@ -125,6 +141,7 @@ class Trajectory(NamedTuple):
     fork_states: GameState  # [T, B, ...] side-position forks (post fork move)
     fork_valid: jax.Array  # [T, B] fork lane holds a real side position
     hint_first: jax.Array  # [T, B] row searched with an active rootHintLoc
+    hint_action: jax.Array  # [T, B] the active rootHintLoc action (-1 none)
 
 
 class TrainingBatch(NamedTuple):
@@ -181,9 +198,12 @@ def run_selfplay_segment(
     num_moves: int,
     startpos_pool: tuple[GameState, jax.Array] | None = None,
     hintpos_pool: tuple[GameState, jax.Array, jax.Array] | None = None,
+    fork_pool=None,
 ):
     """Advance B games `num_moves` plies. Returns (new_states, new_episode_id,
-    Trajectory). jit with static cfg/sp/settings/eval_fn/num_moves.
+    Trajectory) — plus the drained ForkPool when `fork_pool` is given. jit
+    with static cfg/sp/settings/eval_fn/num_moves (fork_pool is traced, so
+    host-side refills never recompile).
 
     `startpos_pool` = (stacked states [K], sampling probs [K]): with prob
     `settings.startposes_prob`, a resetting episode begins from a sampled
@@ -194,7 +214,12 @@ def run_selfplay_segment(
     `hintpos_pool` = (states [K], probs [K], hint_actions [K]): with prob
     `settings.hintposes_prob`, a resetting episode begins from a hint
     position whose recorded move is rootHintLoc for the first search
-    (hintPosesProb; play.cpp:424-446,885-901)."""
+    (hintPosesProb; play.cpp:424-446,885-901).
+
+    `fork_pool` = ForkPool (selfplay/forking.py): queued whole-game fork
+    positions. Every resetting game pops one while any remain — the
+    reference's forkData->get() priority (play.cpp:1921-1925) — and skips
+    policy-init/startpos/hintpos for that episode."""
 
     B = states.board.shape[0]
     max_nodes = settings.max_nodes or max(64, int(settings.num_sims * settings.node_budget_frac) + 2)
@@ -207,7 +232,7 @@ def run_selfplay_segment(
         return jnp.floor(e * cfg.area * settings.policy_init_area_prop).astype(jnp.int32)
 
     def one_move(carry, key):
-        st, ep, prev_tree, prev_action, reuse_ok, init_left, hint_act = carry
+        st, ep, prev_tree, prev_action, reuse_ok, init_left, hint_act, pool_valid = carry
         k_search, k_move, k_init_move, k_init_len = jax.random.split(key, 4)
         tree = mcts.run_search(
             cfg, sp, eval_fn, st, settings.num_sims, k_search, max_nodes,
@@ -259,6 +284,7 @@ def run_selfplay_segment(
             raw_value=raw_value,
             policy_init=is_init,
             hint_first=hint_act >= 0,
+            hint_action=hint_act,
         )
         # side-position forking (play.cpp:1328-1345)
         if settings.side_position_prob > 0.0:
@@ -313,6 +339,30 @@ def run_selfplay_segment(
                 picked_h,
             )
             hint_new = jnp.where(from_hintpos, hints_h[idx_h], -1)
+        # whole-game fork pool: resetting games pop queued fork positions
+        # first (forkData->get precedence, play.cpp:1921-1925)
+        use_fork = jnp.zeros((B,), bool)
+        if fork_pool is not None:
+            pv = pool_valid
+            vrank = jnp.cumsum(pv.astype(jnp.int32)) - 1  # [Kf] rank among valid
+            rrank = jnp.cumsum(nxt.done.astype(jnp.int32)) - 1  # [B] rank among resets
+            n_valid = pv.sum()
+            use_fork = nxt.done & (rrank < n_valid)
+            # game with reset-rank r takes the r-th valid pool entry
+            assign = pv[None, :] & (vrank[None, :] == rrank[:, None])  # [B, Kf]
+            e_for_b = jnp.argmax(assign, axis=1)
+            picked_f = jax.tree_util.tree_map(
+                lambda x: x[e_for_b], fork_pool.states
+            )  # [B]-indexed row gather — the fast kind (CLAUDE.md)
+            fresh = jax.tree_util.tree_map(
+                lambda f, p: jnp.where(
+                    jnp.reshape(use_fork, (-1,) + (1,) * (f.ndim - 1)), p, f
+                ),
+                fresh,
+                picked_f,
+            )
+            pool_valid = pv & ~(vrank < nxt.done.sum())
+            hint_new = jnp.where(use_fork, -1, hint_new)
         new_st = jax.tree_util.tree_map(
             lambda n, f: jnp.where(
                 jnp.reshape(nxt.done, (-1,) + (1,) * (n.ndim - 1)), f, n
@@ -321,10 +371,12 @@ def run_selfplay_segment(
             fresh,
         )
         new_ep = ep + nxt.done.astype(jnp.int32)
-        # policy-init does not apply to startpos/hintpos episodes
+        # policy-init does not apply to startpos/hintpos/forked episodes
         new_init_left = jnp.where(
             nxt.done,
-            jnp.where(from_startpos | from_hintpos, 0, sample_init_len(k_init_len)),
+            jnp.where(
+                from_startpos | from_hintpos | use_fork, 0, sample_init_len(k_init_len)
+            ),
             jnp.maximum(init_left - 1, 0),
         )
         # a hint applies only at the hint position itself — the episode's
@@ -333,10 +385,14 @@ def run_selfplay_segment(
         if settings.tree_reuse:
             # next move reuses the played child's subtree unless the episode
             # just reset (the child is the done-state, not the fresh board)
-            new_carry = (new_st, new_ep, tree, action, ~nxt.done, new_init_left, new_hint)
+            new_carry = (
+                new_st, new_ep, tree, action, ~nxt.done, new_init_left, new_hint,
+                pool_valid,
+            )
         else:
             new_carry = (
-                new_st, new_ep, prev_tree, prev_action, reuse_ok, new_init_left, new_hint
+                new_st, new_ep, prev_tree, prev_action, reuse_ok, new_init_left,
+                new_hint, pool_valid,
             )
         return new_carry, rec
 
@@ -349,6 +405,9 @@ def run_selfplay_segment(
         tree0 = None
     # only fresh boards entering the segment get an opening-init phase
     init_left0 = jnp.where(states.num_turns == 0, sample_init_len(k_len0), 0)
+    pool_valid0 = (
+        fork_pool.valid if fork_pool is not None else jnp.zeros((0,), bool)
+    )
     carry0 = (
         states,
         episode_id,
@@ -357,10 +416,15 @@ def run_selfplay_segment(
         jnp.zeros((B,), bool),
         init_left0,
         jnp.full((B,), -1, jnp.int32),
+        pool_valid0,
     )
     keys = jax.random.split(rng, num_moves)
-    (new_states, new_ep, *_), recs = jax.lax.scan(one_move, carry0, keys)
+    (new_states, new_ep, *rest), recs = jax.lax.scan(one_move, carry0, keys)
     traj = Trajectory(**recs)
+    if fork_pool is not None:
+        from katacoffee_tpu.selfplay.forking import ForkPool
+
+        return new_states, new_ep, traj, ForkPool(fork_pool.states, rest[-1])
     return new_states, new_ep, traj
 
 
