@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from katacoffee_tpu.game.board import (
     C_EMPTY,
+    D_NONE,
     GameConfig,
     GameState,
     NUM_DIRECTIONS,
@@ -42,6 +43,39 @@ from katacoffee_tpu.game.board import (
 
 NUM_FEATURES_SPATIAL = 18
 NUM_FEATURES_GLOBAL = 1
+
+
+def mask_history_state(state: GameState, keep: jax.Array) -> GameState:
+    """Truncate a state's visible move history to its last `keep` (0..5)
+    moves — the Coffee form of the reference's random history masking
+    (useHist0..4 flags, trainingwrite.cpp:438-448, applied as input-plane
+    masks in python/data_processing_pytorch.py:128-201).
+
+    In Coffee the last move also constrains LEGALITY (the direction line,
+    board.cpp:185-227), so masking must rewrite the state, not just feature
+    planes: keep == 0 clears last_spot/last_dir too, making the state
+    identical to one set up position-only (GTP set_position / analysis /
+    startposes) — exactly the inputs the masking is meant to calibrate the
+    net for. keep >= 1 keeps the last move (and its legality constraint) and
+    hides moves further back, matching the reference's per-plane truncation.
+    `keep` is a traced int32 scalar; vmap for a batch."""
+    idx = jnp.arange(state.recent_spots.shape[0])
+    vis = idx < keep
+    has_last = keep > 0
+    return state._replace(
+        last_spot=jnp.where(has_last, state.last_spot, -1),
+        last_dir=jnp.where(has_last, state.last_dir, jnp.int32(D_NONE)),
+        recent_spots=jnp.where(vis, state.recent_spots, -1),
+        recent_dirs=jnp.where(vis, state.recent_dirs, jnp.int32(D_NONE)),
+    )
+
+
+def sample_history_levels(rng: jax.Array, n: int, keep_prob: float = 0.98):
+    """Per-row history depths with the reference's chained draw
+    (trainingwrite.cpp:438-443): depth >= k with probability keep_prob^k,
+    capped at the 5 stored moves. Returns int32 [n] in 0..5."""
+    u = jax.random.uniform(rng, (n, 5))
+    return jnp.cumprod((u < keep_prob).astype(jnp.int32), axis=1).sum(axis=1)
 
 
 def extract_features(cfg: GameConfig, state: GameState):

@@ -40,11 +40,37 @@ def _huber(pred, target, delta):
     return jnp.where(a <= delta, 0.5 * err * err, delta * (a - 0.5 * delta))
 
 
-def compute_losses(cfg: GameConfig, model, params, batch: TrainingBatch, symmetrize_rng=None):
+def compute_losses(
+    cfg: GameConfig,
+    model,
+    params,
+    batch: TrainingBatch,
+    symmetrize_rng=None,
+    history_mask_rng=None,
+    history_keep_prob: float = 0.98,
+):
     """Returns (total_loss, metrics dict). If symmetrize_rng is given, applies
     a random dihedral symmetry per row as data augmentation (the reference
-    augments in data_processing_pytorch.py:87-126)."""
-    spatial, glob = jax.vmap(functools.partial(extract_features, cfg))(batch.states)
+    augments in data_processing_pytorch.py:87-126). If history_mask_rng is
+    given, each row's visible move history is randomly truncated with the
+    reference's chained keep_prob draws (trainingwrite.cpp:438-448 /
+    data_processing_pytorch.py:128-201) BEFORE feature derivation, so the net
+    stays calibrated on positions set up without history (set_position,
+    analysis, startposes). Deviation (docs/DESIGN.md): the draw happens at
+    train time per epoch rather than being frozen into the written row —
+    strictly more augmentation from the same data."""
+    states = batch.states
+    if history_mask_rng is not None:
+        from katacoffee_tpu.nn.features import (
+            mask_history_state,
+            sample_history_levels,
+        )
+
+        levels = sample_history_levels(
+            history_mask_rng, batch.weight.shape[0], history_keep_prob
+        )
+        states = jax.vmap(mask_history_state)(states, levels)
+    spatial, glob = jax.vmap(functools.partial(extract_features, cfg))(states)
 
     policy_target = batch.policy_target
     opp_target = batch.opponent_policy_target

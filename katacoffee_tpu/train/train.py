@@ -34,6 +34,10 @@ class TrainConfig:
     warmup_steps: int = 100
     ema_decay: float = 0.999
     symmetry_augment: bool = True
+    # random history-masking augmentation (trainingwrite.cpp:438-448 /
+    # data_processing_pytorch.py:128-201); see losses.compute_losses
+    history_mask: bool = True
+    history_keep_prob: float = 0.98
 
 
 class TrainState(NamedTuple):
@@ -88,9 +92,14 @@ def make_train_step(model, cfg: GameConfig, tc: TrainConfig, batch_size: int):
 
     def train_step(state: TrainState, batch: TrainingBatch, rng):
         sym_rng = rng if tc.symmetry_augment else None
+        hist_rng = jax.random.fold_in(rng, 0x415) if tc.history_mask else None
 
         def loss_fn(p):
-            return compute_losses(cfg, model, p, batch, symmetrize_rng=sym_rng)
+            return compute_losses(
+                cfg, model, p, batch, symmetrize_rng=sym_rng,
+                history_mask_rng=hist_rng,
+                history_keep_prob=tc.history_keep_prob,
+            )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)

@@ -116,3 +116,69 @@ def test_features_vmap():
     spatial, glob = vfeat(states)
     assert spatial.shape == (B, NUM_FEATURES_SPATIAL, 5, 5)
     assert glob.shape == (B, NUM_FEATURES_GLOBAL)
+
+
+def test_history_mask_matches_set_position():
+    """A fully history-masked row's features equal a freshly set-up
+    position-only state's features (the calibration target of the
+    reference's useHist flags, trainingwrite.cpp:438-448); partial masks
+    drop exactly the hidden history planes and keep legality consistent
+    with the still-visible last move."""
+    from katacoffee_tpu.nn.features import mask_history_state
+    from katacoffee_tpu.program.engine import Engine
+    from katacoffee_tpu.search import SearchParams
+    from katacoffee_tpu.search.mcts import uniform_eval_fn
+
+    cfg = CFG
+    state = init_state(cfg)
+    moves = [(2, 2, 0), (2, 1, 1), (4, 1, 2), (3, 0, 0), (3, 2, 3), (1, 4, 0)]
+    for x, y, d in moves:
+        state = play(cfg, state, x, y, d)
+    assert not bool(state.done)
+
+    # keep=0: equals engine.set_position of the same stones (no history)
+    masked0 = mask_history_state(state, jnp.asarray(0, jnp.int32))
+    eng = Engine(cfg, SearchParams.for_tests_v2(), uniform_eval_fn(cfg), seed=0)
+    eng.set_position(np.asarray(state.board), to_move=int(state.to_move))
+    f_masked = np.asarray(feat_fn(cfg)(masked0)[0])
+    f_setpos = np.asarray(feat_fn(cfg)(eng.state)[0])
+    np.testing.assert_array_equal(f_masked, f_setpos)
+
+    # keep=1: equals set_position with the last move supplied
+    masked1 = mask_history_state(state, jnp.asarray(1, jnp.int32))
+    x, y, d = moves[-1]
+    eng.set_position(
+        np.asarray(state.board), to_move=int(state.to_move), last_move=(x, y, d)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(feat_fn(cfg)(masked1)[0]), np.asarray(feat_fn(cfg)(eng.state)[0])
+    )
+
+    # keep=k hides exactly the history planes beyond k; stones/legality/lines
+    # unchanged for k >= 1
+    full = np.asarray(feat_fn(cfg)(state)[0])
+    for k in range(1, 5):
+        fk = np.asarray(
+            feat_fn(cfg)(mask_history_state(state, jnp.asarray(k, jnp.int32)))[0]
+        )
+        np.testing.assert_array_equal(fk[:3], full[:3])
+        np.testing.assert_array_equal(fk[3:7], full[3:7])  # last move visible
+        np.testing.assert_array_equal(fk[11:], full[11:])
+        for j in range(4):  # ch 7+j = move j+2 ago, visible iff j+2 <= k
+            if j + 2 <= k:
+                np.testing.assert_array_equal(fk[7 + j], full[7 + j])
+            else:
+                assert fk[7 + j].sum() == 0
+
+
+def test_sample_history_levels_distribution():
+    from katacoffee_tpu.nn.features import sample_history_levels
+
+    levels = np.asarray(
+        sample_history_levels(jax.random.PRNGKey(0), 20000, keep_prob=0.9)
+    )
+    assert levels.min() >= 0 and levels.max() <= 5
+    # P(level >= k) = 0.9^k
+    for k in range(1, 5):
+        frac = (levels >= k).mean()
+        assert abs(frac - 0.9**k) < 0.02, (k, frac)
