@@ -45,6 +45,11 @@ class LoopConfig:
     shuffle_min_rows: int = 50000
     val_prop: float = 0.05
     seed: int = 0
+    # Stepped-warmup sample thresholds (train.py:574-582) scaled for Coffee
+    # loop runs: 0.02 → ramp 1/5→1 over the first ~120k samples instead of
+    # the reference's 6M (tuned to big Go runs).
+    warmup_samples_scale: float = 0.02
+    learning_rate: float = 0.02
 
 
 def run_loop(base_dir: str, cfg: GameConfig, lc: LoopConfig, logger: Logger | None = None):
@@ -83,7 +88,10 @@ def run_loop(base_dir: str, cfg: GameConfig, lc: LoopConfig, logger: Logger | No
         logger.write(f"shuffle: {stats}")
 
         # 3. train + export a candidate
-        tc = TrainConfig()
+        tc = TrainConfig(
+            learning_rate=lc.learning_rate,
+            warmup_samples_scale=lc.warmup_samples_scale,
+        )
         trc = TrainerConfig(
             model=lc.model,
             batch_size=lc.train_batch,
@@ -128,6 +136,8 @@ def main(argv, **kw):
         gate_visits=c.get_int("gateVisits", 100),
         use_gatekeeper=c.get_bool("useGatekeeper", True),
         seed=c.get_int("seed", 0),
+        warmup_samples_scale=c.get_float("warmupSamplesScale", 0.02),
+        learning_rate=c.get_float("learningRate", 0.02),
     )
     logger = Logger(log_to_stdout=True)
     c.warn_unused(logger)

@@ -31,6 +31,7 @@ from katacoffee_tpu.nn.configs import get_model_spec
 from katacoffee_tpu.nn.model import CoffeeNet
 from katacoffee_tpu.selfplay.actor import TrainingBatch
 from katacoffee_tpu.train import TrainConfig, init_train_state, make_train_step
+from katacoffee_tpu.train.train import current_lr
 from katacoffee_tpu.utils import Logger
 
 
@@ -141,7 +142,8 @@ def run_training(
 
         if steps % 50 == 0 or steps == 1:
             m = {k2: float(v) for k2, v in metrics.items()}
-            m.update(step=gstep, epoch=epoch, time=time.time())
+            m.update(step=gstep, epoch=epoch, time=time.time(),
+                     p_lr=current_lr(tc, trc.batch_size, gstep))
             mfile.write(json.dumps(m) + "\n")
             mfile.flush()
             logger.write(
@@ -227,7 +229,12 @@ def main(argv, **kw):
         c.apply_overrides(args.override_config)
 
     cfg = GameConfig(c.get_int("xSize", 5), c.get_int("ySize", 5), c.get_int("winLen", 4))
-    tc = TrainConfig(learning_rate=c.get_float("learningRate", 0.02))
+    tc = TrainConfig(
+        learning_rate=c.get_float("learningRate", 0.02),
+        lr_schedule=c.get_string("lrSchedule", "stepwise"),
+        warmup_samples_scale=c.get_float("warmupSamplesScale", 1.0),
+        output_head_lr_scale=c.get_float("outputHeadLrScale", 0.5),
+    )
     trc = TrainerConfig(
         model=c.get_string("model", "b6c96"),
         batch_size=c.get_int("batchSize", 256),

@@ -38,6 +38,55 @@ class TrainConfig:
     # data_processing_pytorch.py:128-201); see losses.compute_losses
     history_mask: bool = True
     history_keep_prob: float = 0.98
+    # LR schedule policy (reference train.py:569-603 "fixup" row — our net is
+    # ReZero, the fixup-family norm kind): a stepped warmup keyed on SAMPLES
+    # seen, not steps, ramping 1/5 → 1/3 → 1/2 → 1/1.4 → 1. "linear" keeps the
+    # old warmup_steps ramp. warmup_samples_scale shrinks the reference's
+    # 1M/2M/4M/6M sample thresholds for small boards/runs.
+    lr_schedule: str = "stepwise"
+    warmup_samples_scale: float = 1.0
+    # Output heads train at half LR (train.py:610-620 group_scale=0.5 for
+    # "output"/"output_noreg" groups).
+    output_head_lr_scale: float = 0.5
+
+
+# Reference stepped warmup for fixup-family norms (train.py:574-582):
+# (samples_threshold, scale) pairs; above the last threshold scale is 1.
+_FIXUP_WARMUP_STEPS = (
+    (1_000_000, 1.0 / 5.0),
+    (2_000_000, 1.0 / 3.0),
+    (4_000_000, 1.0 / 2.0),
+    (6_000_000, 1.0 / 1.4),
+)
+
+
+def warmup_scale_at(samples: float, samples_scale: float = 1.0) -> float:
+    """The reference's warmup_scale for fixup-family nets at a given global
+    sample count (train.py:574-582), with thresholds scaled by
+    samples_scale."""
+    for threshold, scale in _FIXUP_WARMUP_STEPS:
+        if samples < threshold * samples_scale:
+            return scale
+    return 1.0
+
+
+def _is_output_head(path) -> bool:
+    name = jax.tree_util.keystr(path)
+    return ("PolicyHead" in name) or ("ValueHead" in name)
+
+
+def _scale_output_heads(scale: float):
+    """Per-group LR: multiply output-head updates by `scale`
+    (train.py:610-620)."""
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map_with_path(
+            lambda path, u: u * scale if _is_output_head(path) else u, updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
 
 
 class TrainState(NamedTuple):
@@ -60,15 +109,40 @@ def _decay_mask(params):
 
 def make_optimizer(tc: TrainConfig, batch_size: int):
     # learning_rate is defined at batch_scale samples/step and scaled
-    # linearly with the actual global batch (the reference scales LR by
-    # world size, train.py:291-330)
+    # linearly with the actual global batch (the reference's per-sample LR
+    # semantics: group lr = per_sample_lr * warmup_scale * group_scale,
+    # train.py:570,626-628)
     lr = tc.learning_rate * (batch_size / tc.batch_scale)
-    schedule = optax.linear_schedule(0.0, lr, tc.warmup_steps)
+    if tc.lr_schedule == "stepwise":
+        # step → samples seen; jnp.piecewise-free formulation so the schedule
+        # traces cleanly inside jit
+        thresholds = jnp.array(
+            [t * tc.warmup_samples_scale for t, _ in _FIXUP_WARMUP_STEPS]
+        )
+        scales = jnp.array([s for _, s in _FIXUP_WARMUP_STEPS] + [1.0])
+        def schedule(step):
+            samples = jnp.asarray(step, jnp.float32) * batch_size
+            idx = jnp.sum(samples >= thresholds)
+            return lr * scales[idx]
+    elif tc.lr_schedule == "linear":
+        schedule = optax.linear_schedule(0.0, lr, tc.warmup_steps)
+    else:
+        raise ValueError(f"unknown lr_schedule {tc.lr_schedule!r}")
     return optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
         optax.add_decayed_weights(tc.weight_decay, mask=_decay_mask),
         optax.sgd(learning_rate=schedule, momentum=tc.momentum, nesterov=True),
+        _scale_output_heads(tc.output_head_lr_scale),
     )
+
+
+def current_lr(tc: TrainConfig, batch_size: int, step: int) -> float:
+    """Host-side view of the scheduled LR at a given step (for metrics
+    files; the reference logs p_lr per batch, train.py:641)."""
+    lr = tc.learning_rate * (batch_size / tc.batch_scale)
+    if tc.lr_schedule == "stepwise":
+        return lr * warmup_scale_at(step * batch_size, tc.warmup_samples_scale)
+    return lr * min(1.0, step / max(tc.warmup_steps, 1))
 
 
 def init_train_state(model, cfg: GameConfig, tc: TrainConfig, batch_size: int, rng):

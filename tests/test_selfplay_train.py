@@ -190,3 +190,58 @@ class TestShardedTraining:
         assert np.isfinite(float(metrics["loss"]))
         state, metrics2 = step(state, sbatch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics2["loss"]))
+
+
+class TestLrSchedule:
+    """Reference stepped LR policy (train.py:569-628, 'fixup' row): per-sample
+    LR x stepped warmup keyed on samples seen, output heads at half LR."""
+
+    def test_warmup_scale_steps(self):
+        from katacoffee_tpu.train.train import warmup_scale_at
+
+        assert warmup_scale_at(0) == 1.0 / 5.0
+        assert warmup_scale_at(999_999) == 1.0 / 5.0
+        assert warmup_scale_at(1_000_000) == 1.0 / 3.0
+        assert warmup_scale_at(3_999_999) == 1.0 / 2.0
+        assert warmup_scale_at(5_000_000) == 1.0 / 1.4
+        assert warmup_scale_at(6_000_000) == 1.0
+        # scaled thresholds
+        assert warmup_scale_at(30_000, samples_scale=0.02) == 1.0 / 3.0
+        assert warmup_scale_at(200_000, samples_scale=0.02) == 1.0
+
+    def test_current_lr_matches_schedule(self):
+        from katacoffee_tpu.train.train import current_lr
+
+        tc = TrainConfig(learning_rate=0.02, warmup_samples_scale=1.0)
+        # batch 256 = batch_scale; step 0 -> 1/5 of base LR
+        assert abs(current_lr(tc, 256, 0) - 0.02 / 5) < 1e-12
+        # past all thresholds -> full LR
+        assert abs(current_lr(tc, 256, 100_000) - 0.02) < 1e-12
+
+    def test_stepwise_schedule_in_jit_and_head_scale(self):
+        """One optimizer step: output-head params move ~half as much as trunk
+        params under equal gradients (group_scale 0.5, train.py:610-620), and
+        the jitted stepped schedule matches the host-side view."""
+        import optax
+        from katacoffee_tpu.train.train import make_optimizer, current_lr
+
+        tc = TrainConfig(
+            learning_rate=0.02, warmup_samples_scale=1.0, momentum=0.0,
+            weight_decay=0.0, grad_clip=1e9,
+        )
+        opt = make_optimizer(tc, batch_size=256)
+        params = {
+            "trunk": {"kernel": jnp.ones((3,))},
+            "PolicyHead_0": {"kernel": jnp.ones((3,))},
+        }
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        st = opt.init(params)
+        updates, st = opt.update(grads, st, params)
+        trunk_step = float(-updates["trunk"]["kernel"][0])
+        head_step = float(-updates["PolicyHead_0"]["kernel"][0])
+        assert abs(trunk_step - current_lr(tc, 256, 0)) < 1e-9
+        assert abs(head_step - 0.5 * trunk_step) < 1e-9
+        # threshold crossing: samples = step*256 pass 1M between steps
+        # 3906 and 3907, stepping the lr from 1/5 to 1/3 of base
+        assert abs(current_lr(tc, 256, 3906) - 0.02 / 5) < 1e-12
+        assert abs(current_lr(tc, 256, 3907) - 0.02 / 3) < 1e-12
