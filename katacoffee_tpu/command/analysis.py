@@ -11,9 +11,13 @@ Query fields supported (reference names): id, moves (["B","C3 NW"] pairs —
 Coffee locations are "<spot> <direction>" or compact "C3NW"), initialStones,
 initialPlayer, boardXSize, boardYSize, rules ("coffee" or {"winLen": k}),
 analyzeTurns, maxVisits, priority (accepted), includeOwnership,
-includePolicy. Actions: query_version, clear_cache, terminate/terminate_all
-(accepted; searches are synchronous so there is nothing in flight to stop —
-documented deviation).
+includePolicy, avoidMoves/allowMoves (list of {player, moves, untilDepth} —
+applied as root restrictions per analysis.cpp:106-191; untilDepth beyond the
+root is out of scope for the batched search, documented deviation), and
+reportDuringSearchEvery (seconds — interim results stream with
+isDuringSearch=true between compiled search chunks). Actions: query_version,
+clear_cache, terminate/terminate_all (accepted; chunks are synchronous so
+there is nothing in flight to stop — documented deviation).
 
 Result fields per turn: id, turnNumber, moveInfos (move, visits, winrate,
 prior, lcb, utility, order, pv), rootInfo (winrate, visits, utility,
@@ -25,6 +29,7 @@ from __future__ import annotations
 import functools
 import json
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -80,10 +85,49 @@ class AnalysisEngine:
         if fn is None:
             sp, ev = self.sp, self._eval_fn(cfg)
             fn = jax.jit(
-                lambda roots, rng: mcts.run_search(cfg, sp, ev, roots, visits, rng)
+                lambda roots, rng, avoid: mcts.run_search(
+                    cfg, sp, ev, roots, visits, rng, root_avoid=avoid
+                )
             )
             self._search_cache[key] = fn
         return fn
+
+    def _stream_fns(self, cfg: GameConfig, batch: int, max_visits: int):
+        """(start, cont) jitted chunked-search pair for streaming queries
+        (reportDuringSearchEvery): one compilation per node-capacity bucket
+        serves every visit budget up to it (mcts.continue_search)."""
+        cap = 1 << max(6, int(max_visits + 2 - 1).bit_length())
+        key = (cfg, batch, cap, "stream")
+        fns = self._search_cache.get(key)
+        if fns is None:
+            sp, ev = self.sp, self._eval_fn(cfg)
+
+            def start(roots, rng, avoid):
+                return mcts.run_search(
+                    cfg, sp, ev, roots, 0, rng, max_nodes=cap, root_avoid=avoid
+                )
+
+            def cont(tree, rng, target):
+                return mcts.continue_search(cfg, sp, ev, tree, cap, rng, target)
+
+            fns = (jax.jit(start), jax.jit(cont))
+            self._search_cache[key] = fns
+        return fns
+
+    def _parse_restrictions(self, query: dict, cfg: GameConfig):
+        """avoidMoves/allowMoves -> list of (player, avoid-mask[A]) root
+        restrictions (allow = avoid of the complement)."""
+        specs = []
+        for key_name, is_allow in (("avoidMoves", False), ("allowMoves", True)):
+            for entry in query.get(key_name) or []:
+                pla = _parse_player(entry["player"])
+                mask = np.zeros(cfg.policy_size, bool)
+                for mstr in entry["moves"]:
+                    x, y, d = gio.parse_loc(mstr, cfg)
+                    mask[d * cfg.area + y * cfg.x_size + x] = True
+                if int(entry.get("untilDepth", 1)) >= 1:
+                    specs.append((pla, ~mask if is_allow else mask))
+        return specs
 
     # ------------------------------------------------------------------
 
@@ -167,13 +211,50 @@ class AnalysisEngine:
         roots = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[states_by_turn[t] for t in live]
         )
-        tree = self._search_fn(cfg, len(live), max_visits)(roots, self._next_key())
-
+        specs = self._parse_restrictions(query, cfg)
+        avoid = np.zeros((len(live), cfg.policy_size), bool)
         for i, t in enumerate(live):
-            results.append(
-                self._extract(qid, t, cfg, tree, i, query, states_by_turn[t])
+            mover = int(states_by_turn[t].to_move)
+            for pla, mask in specs:
+                if pla == mover:
+                    avoid[i] |= mask
+        avoid_j = jnp.asarray(avoid)
+
+        report_every = query.get("reportDuringSearchEvery")
+        if report_every is None:
+            tree = self._search_fn(cfg, len(live), max_visits)(
+                roots, self._next_key(), avoid_j
             )
-        return results
+            for i, t in enumerate(live):
+                results.append(
+                    self._extract(qid, t, cfg, tree, i, query, states_by_turn[t])
+                )
+            return results
+
+        # ---- streaming: interim isDuringSearch=true reports per chunk ----
+        def gen():
+            yield from results
+            start, cont = self._stream_fns(cfg, len(live), max_visits)
+            tree = start(roots, self._next_key(), avoid_j)
+            done = 1
+            vps = getattr(self, "_vps", 200.0)
+            while done <= max_visits:
+                chunk = max(8, int(float(report_every) * vps))
+                target = min(done + chunk, max_visits + 1)
+                t0 = time.monotonic()
+                tree = cont(tree, self._next_key(), jnp.asarray(float(target)))
+                jax.block_until_ready(tree.visits)
+                dt = max(time.monotonic() - t0, 1e-6)
+                vps = 0.7 * vps + 0.3 * ((target - done) / dt)
+                self._vps = vps
+                done = target
+                during = done <= max_visits
+                for i, t in enumerate(live):
+                    r = self._extract(qid, t, cfg, tree, i, query, states_by_turn[t])
+                    r["isDuringSearch"] = during
+                    yield r
+
+        return gen()
 
     def _extract(self, qid, turn, cfg, tree, i, query, state) -> dict:
         children = np.asarray(tree.children[i])
@@ -258,8 +339,12 @@ class AnalysisEngine:
                 outfile.write(json.dumps({"error": f"bad json: {e}"}) + "\n")
                 outfile.flush()
                 continue
-            for result in self.handle_query(query):
-                outfile.write(json.dumps(result) + "\n")
+            try:
+                for result in self.handle_query(query):
+                    outfile.write(json.dumps(result) + "\n")
+                    outfile.flush()
+            except (ValueError, KeyError, IndexError) as e:
+                outfile.write(json.dumps({"id": query.get("id"), "error": str(e)}) + "\n")
             outfile.flush()
 
 

@@ -12,14 +12,20 @@ Go-only commands (handicap, komi effects) are accepted-but-inert or report
 errors exactly where meaningless; komi is stored and echoed for GUI
 compatibility (the reference does the same for Coffee — komi has no effect).
 
-Deviation (documented): lz-analyze/kata-analyze in the reference stream info
-lines on an interval while background threads search; our search is one
-jitted call, so analyze runs the search to its visit budget and emits one
-final info report. The line format matches, so GUIs parse it unchanged.
+lz-analyze/kata-analyze stream interval reports like the reference (the
+search runs as compiled chunks; between chunks the host emits an `info` line
+and polls stdin so a newline or the next command stops the analysis —
+gtp.cpp kata-analyze semantics). Deviation (documented): the analysis is
+bounded by maxVisits rather than running forever; GUIs that stop analysis by
+sending the next command see identical behavior. avoidMoves/allowMoves
+restrict the root only (our searches are batched; deeper per-player
+avoidance is out of scope — analysis.cpp:106-191's root restriction is the
+behavior GUIs rely on).
 """
 
 from __future__ import annotations
 
+import select
 import sys
 import time
 
@@ -30,7 +36,13 @@ from katacoffee_tpu.game import io as gio
 from katacoffee_tpu.game.board import GameConfig
 from katacoffee_tpu.program.engine import Engine, IllegalMoveError
 from katacoffee_tpu.search.params import SearchParams
-from katacoffee_tpu.search.timecontrols import TimeControls, visits_for_time
+from katacoffee_tpu.search.timecontrols import (
+    TimeControls,
+    interpolate_early,
+    is_search_futile,
+    shaped_time_budget,
+    visits_for_time,
+)
 
 KNOWN_COMMANDS = [
     "protocol_version",
@@ -111,6 +123,9 @@ class GTPEngine:
         self.engine = Engine(cfg, search_params, eval_fn, seed=seed)
         self.time_controls = {1: TimeControls(), 2: TimeControls()}
         self.cpu_time = 0.0
+        self._io = None  # (infile, outfile) while run() is active
+        self._cmd_id = ""
+        self._already_responded = False
 
     def log(self, msg: str):
         if self.logger is not None:
@@ -118,21 +133,51 @@ class GTPEngine:
 
     # ------------------------------------------------------------------
 
-    def _visits_for_player(self, pla: int) -> int:
-        tc = self.time_controls[pla]
-        budget = tc.time_for_move()
-        if budget == float("inf") or self.engine.visits_per_second is None:
-            return self.max_visits
-        return visits_for_time(budget, self.engine.visits_per_second, self.max_visits)
-
     def _genmove(self, pla: int, debug: bool = False, play: bool = True) -> str:
         if pla != self.engine.to_move:
             raise IllegalMoveError("genmove for the player not to move")
         if self.engine.game_over:
             return "resign"  # no legal moves for us (game already decided)
-        visits = self._visits_for_player(pla)
+        tc = self.time_controls[pla]
+        budget = tc.time_for_move()
+        vps = self.engine.visits_per_second
         t0 = time.monotonic()
-        action, result = self.engine.genmove(visits, play=play)
+        if budget == float("inf") or vps is None:
+            action, result = self.engine.genmove(self.max_visits, play=play)
+        else:
+            # recomputeSearchTimeLimit's shaping (searchtimehelpers.cpp:37-140)
+            # adapted to the visit-bounded engine: budget -> shaped budget ->
+            # visit target, with the obvious-move discount and futile-visits
+            # stop re-evaluated between compiled chunks.
+            sp = self.sp
+            turn = len(self.engine.move_history)
+            shaped = shaped_time_budget(sp, budget, turn, self.cfg.area)
+            target = visits_for_time(shaped, vps, self.max_visits)
+            chunk = max(8, target // 4)
+            temp = interpolate_early(
+                sp.chosenMoveTemperatureHalflife,
+                sp.chosenMoveTemperatureEarly,
+                sp.chosenMoveTemperature,
+                turn,
+            )
+
+            def stop_check(tree, done, left):
+                if sp.obviousMovesTimeFactor < 1.0:
+                    ent = self.engine.root_policy_entropy(tree)
+                    sur = self.engine.root_policy_surprise(tree)
+                    shaped2 = shaped_time_budget(sp, budget, turn, self.cfg.area, ent, sur)
+                    if done >= visits_for_time(shaped2, vps, self.max_visits):
+                        return True
+                if sp.futileVisitsThreshold > 0:
+                    ev = np.asarray(tree.edge_visits[0, 0])
+                    counts = ev[ev > 0].tolist()
+                    if is_search_futile(sp, counts, counts, float(left), temp):
+                        return True
+                return False
+
+            action, result = self.engine.genmove_stream(
+                target, chunk, stop_check=stop_check, play=play
+            )
         dt = time.monotonic() - t0
         self.cpu_time += dt
         self.time_controls[pla].update_after_move(dt)
@@ -144,6 +189,121 @@ class GTPEngine:
                     file=sys.stderr,
                 )
         return gio.action_to_string(action, self.cfg)
+
+    def _parse_analyze_args(self, args: list[str]) -> dict:
+        """Parse lz-analyze/kata-analyze args (gtp.cpp parseAnalyzeCommand):
+        [player] [interval-centiseconds] plus keyed options interval N,
+        avoid/allow PLAYER MOVES UNTILDEPTH, minmoves/maxmoves N (other
+        kata keys are accepted and ignored)."""
+        pla = self.engine.to_move
+        interval = None  # seconds between reports
+        avoid = None  # [A] bool, True = forbidden at root
+        allow_mask = None
+        maxmoves = 16
+        A = self.cfg.policy_size
+        toks = list(args)
+        i = 0
+        if toks and toks[0].lower() in ("b", "black", "w", "white"):
+            pla = _parse_player(toks[0])
+            i = 1
+        while i < len(toks):
+            t = toks[i].lower()
+            if t == "interval" and i + 1 < len(toks):
+                interval = float(toks[i + 1]) / 100.0
+                i += 2
+            elif t in ("avoid", "allow") and i + 3 < len(toks):
+                p2 = _parse_player(toks[i + 1])
+                mask = np.zeros(A, bool)
+                for mstr in toks[i + 2].split(","):
+                    x, y, d = gio.parse_loc(mstr, self.cfg)
+                    mask[d * self.cfg.area + y * self.cfg.x_size + x] = True
+                until = int(toks[i + 3])
+                i += 4
+                # root-only restriction: applies when it covers the root mover
+                if p2 == pla and until >= 1:
+                    if t == "avoid":
+                        avoid = mask if avoid is None else (avoid | mask)
+                    else:
+                        allow_mask = mask if allow_mask is None else (allow_mask | mask)
+            elif t in ("minmoves", "maxmoves", "pvvisits") and i + 1 < len(toks):
+                if t == "maxmoves":
+                    maxmoves = int(toks[i + 1])
+                i += 2
+            elif t in ("ownership", "ownershipstdev", "movesownership", "rootinfo") and i + 1 < len(toks):
+                i += 2  # accepted, not reported (documented deviation)
+            elif t.replace(".", "", 1).isdigit() and interval is None:
+                interval = float(t) / 100.0  # bare CENTISECONDS shorthand
+                i += 1
+            else:
+                raise ValueError(f"could not parse analyze argument {toks[i]!r}")
+        if allow_mask is not None:
+            inv = ~allow_mask
+            avoid = inv if avoid is None else (avoid | inv)
+        return {"pla": pla, "interval": interval, "avoid": avoid, "maxmoves": maxmoves}
+
+    def _run_analyze(self, spec: dict, genmove: bool = False) -> str:
+        """Run (and stream, when an interval is set) an analysis; returns the
+        response text for one-shot mode or "" after writing a streamed
+        response itself. With `genmove`, finishes by choosing + playing a
+        move (lz/kata-genmove_analyze)."""
+        pla = spec["pla"]
+        if pla != self.engine.to_move and not genmove:
+            # analyze from the other player's perspective (reference supports
+            # this by re-rooting with the requested player to move)
+            self.engine.set_to_move(pla)
+        interval = spec["interval"]
+        infile, outfile = self._io if self._io is not None else (None, None)
+        if interval is None or outfile is None:
+            if genmove:
+                action, result = self.engine.genmove(self.max_visits, play=True)
+                return self._analyze_line(result) + f"\nplay {gio.action_to_compact(action, self.cfg)}"
+            result = self.engine.analyze(self.max_visits, avoid=spec["avoid"])
+            return self._analyze_line(result)
+
+        # ---- streaming: write the GTP response directly ----
+        outfile.write("=" + self._cmd_id + "\n")
+        outfile.flush()
+
+        def stdin_ready() -> bool:
+            if infile is not sys.stdin:
+                return False
+            try:
+                return bool(select.select([infile], [], [], 0)[0])
+            except (OSError, ValueError):
+                return False
+
+        vps = self.engine.visits_per_second or 200.0
+        chunk = max(8, int(interval * vps))
+        interrupted = False
+
+        def stop_check(tree, done, left):
+            nonlocal interrupted
+            if stdin_ready():
+                interrupted = True
+                return True
+            return False
+
+        def report(tree, done):
+            result = self.engine._extract_analysis(tree, max_moves=spec["maxmoves"])
+            outfile.write(self._analyze_line(result) + "\n")
+            outfile.flush()
+
+        if genmove:
+            action, result = self.engine.genmove_stream(
+                self.max_visits, chunk, stop_check=stop_check,
+                avoid=spec["avoid"], play=True, on_report=report,
+            )
+            outfile.write(f"play {gio.action_to_compact(action, self.cfg)}\n")
+        else:
+            tree = None
+            for tree, done in self.engine.search_stream(
+                self.max_visits, chunk, avoid=spec["avoid"], stop_check=stop_check
+            ):
+                report(tree, done)
+        outfile.write("\n")
+        outfile.flush()
+        self._already_responded = True
+        return ""
 
     def _analyze_line(self, result) -> str:
         """One `info` report in lz/kata-analyze format."""
@@ -177,10 +337,14 @@ class GTPEngine:
                 return f"?{cmd_id} no command"
         cmd, args = pieces[0], pieces[1:]
 
+        self._cmd_id = cmd_id
+        self._already_responded = False
         try:
             ok, resp, quit_ = self._dispatch(cmd, args)
         except (ValueError, IllegalMoveError) as e:
             ok, resp, quit_ = False, str(e), False
+        if self._already_responded:
+            return ""  # streamed commands write their own response
 
         prefix = ("=" if ok else "?") + cmd_id
         out = f"{prefix} {resp}".rstrip() if resp else prefix
@@ -267,16 +431,13 @@ class GTPEngine:
                 pla, debug=cmd != "genmove", play=cmd != "search_debug"
             )
         elif cmd in ("lz-genmove_analyze", "kata-genmove_analyze"):
-            pla = _parse_player(args[0]) if args and not args[0].isdigit() else self.engine.to_move
-            if pla != self.engine.to_move:
+            spec = self._parse_analyze_args(args)
+            if spec["pla"] != self.engine.to_move:
                 raise IllegalMoveError("genmove for the player not to move")
-            visits = self._visits_for_player(pla)
-            action, result = self.engine.genmove(visits, play=True)
-            resp = self._analyze_line(result) + f"\nplay {gio.action_to_compact(action, self.cfg)}"
+            resp = self._run_analyze(spec, genmove=True)
         elif cmd in ("lz-analyze", "kata-analyze"):
-            # args may include player and "interval N" — we emit one report
-            result = self.engine.analyze(self.max_visits)
-            resp = self._analyze_line(result)
+            spec = self._parse_analyze_args(args)
+            resp = self._run_analyze(spec)
         elif cmd == "clear_cache":
             self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
         elif cmd == "showboard":
@@ -390,6 +551,7 @@ class GTPEngine:
     def run(self, infile=None, outfile=None):
         infile = infile or sys.stdin
         outfile = outfile or sys.stdout
+        self._io = (infile, outfile)
         for line in infile:
             result = self.handle(line)
             if result == "":

@@ -121,6 +121,12 @@ class Engine:
         self.move_history = []
         self._state_stack = []
 
+    def set_to_move(self, pla: int):
+        """Override the player to move at the current position (the
+        reference's GTPEngine analyze-for-either-player and out-of-order
+        `play` support re-root the search this way)."""
+        self.state = self.state._replace(to_move=jnp.asarray(pla, jnp.int8))
+
     def legal_actions(self) -> np.ndarray:
         return np.asarray(self._legal1(self.state))
 
@@ -188,12 +194,17 @@ class Engine:
         self._rng, k = jax.random.split(self._rng)
         return k
 
-    def search(self, max_visits: int) -> mcts.Tree:
+    def search(self, max_visits: int, avoid: np.ndarray | None = None) -> mcts.Tree:
         if self.game_over:
             raise ValueError("game is over")
         t0 = time.monotonic()
-        tree = self._get_search_fn(max_visits)(self.state, self._next_key())
-        jax.block_until_ready(tree.visits)
+        if avoid is not None:
+            tree = None
+            for tree, _ in self.search_stream(max_visits, max_visits, avoid=avoid):
+                pass
+        else:
+            tree = self._get_search_fn(max_visits)(self.state, self._next_key())
+            jax.block_until_ready(tree.visits)
         dt = max(time.monotonic() - t0, 1e-6)
         # update running visits/s (ignore compile-dominated first call)
         if max_visits >= 8 and self.visits_per_second is not None:
@@ -201,6 +212,130 @@ class Engine:
         elif max_visits >= 8:
             self.visits_per_second = max_visits / dt
         return tree
+
+    # ------------------------------------------------------------------
+    # Chunked / streaming search (the interruptible-search role: the
+    # reference's search threads poll shouldStop + report kata-analyze
+    # intervals, gtp.cpp kata-analyze + searchtimehelpers.cpp stop
+    # conditions; here the host checks between compiled chunks)
+    # ------------------------------------------------------------------
+
+    def _get_stream_fns(self, max_visits: int):
+        """(start_fn, cont_fn) compiled for a bucketed node capacity: ONE
+        compilation serves every visit budget up to the bucket, with the
+        per-chunk visit target traced (mcts.continue_search)."""
+        cap = 1 << max(6, int(max_visits + 2 - 1).bit_length())
+        key = ("stream", cap)
+        fns = self._search_fns.get(key)
+        if fns is None:
+            cfg, sp, ev = self.cfg, self.sp, self.eval_fn
+
+            def start(root_state, rng, avoid):
+                roots = jax.tree_util.tree_map(lambda x: x[None], root_state)
+                return mcts.run_search(
+                    cfg, sp, ev, roots, 0, rng, max_nodes=cap,
+                    root_avoid=avoid[None],
+                )
+
+            def cont(tree, rng, target):
+                return mcts.continue_search(cfg, sp, ev, tree, cap, rng, target)
+
+            fns = (jax.jit(start), jax.jit(cont))
+            self._search_fns[key] = fns
+        return fns
+
+    def search_stream(
+        self,
+        max_visits: int,
+        interval_visits: int,
+        avoid: np.ndarray | None = None,
+        stop_check=None,
+    ):
+        """Generator yielding (tree, visits_so_far) every `interval_visits`
+        root visits until `max_visits`. `avoid` [A] bool masks root moves
+        (avoidMoves/allowMoves). `stop_check(tree, visits_so_far,
+        visits_left)` returning True ends the search early (time management /
+        futile-visits)."""
+        if self.game_over:
+            raise ValueError("game is over")
+        start, cont = self._get_stream_fns(max_visits)
+        if avoid is None:
+            avoid_arr = jnp.zeros((self.cfg.policy_size,), bool)
+        else:
+            avoid_arr = jnp.asarray(np.asarray(avoid, bool))
+        tree = start(self.state, self._next_key(), avoid_arr)
+        done = 1  # the root eval counts as one visit
+        while done <= max_visits:
+            target = min(done + max(int(interval_visits), 1), max_visits + 1)
+            t0 = time.monotonic()
+            tree = cont(tree, self._next_key(), jnp.asarray(float(target)))
+            jax.block_until_ready(tree.visits)
+            dt = max(time.monotonic() - t0, 1e-6)
+            added = target - done
+            if added >= 8 and self.visits_per_second is not None:
+                self.visits_per_second = (
+                    0.7 * self.visits_per_second + 0.3 * (added / dt)
+                )
+            elif added >= 8:
+                self.visits_per_second = added / dt
+            done = target
+            yield tree, done - 1
+            if stop_check is not None and done <= max_visits:
+                if stop_check(tree, done - 1, max_visits + 1 - done):
+                    break
+
+    def root_policy_entropy(self, tree: mcts.Tree) -> float:
+        """Entropy of the root's raw policy prior (getPolicySurprise context,
+        searchresults.cpp; used by the obvious-move time discount)."""
+        p = np.asarray(tree.prior[0, 0])
+        p = np.where(p > 0, p, 0.0)
+        s = p.sum()
+        if s <= 0:
+            return 0.0
+        p = p / s
+        return float(-(p[p > 0] * np.log(p[p > 0])).sum())
+
+    def root_policy_surprise(self, tree: mcts.Tree) -> float:
+        """KL(search visit distribution || raw policy prior) at the root —
+        the reference's getPolicySurprise (searchresults.cpp:1447-1480)."""
+        p = np.asarray(tree.prior[0, 0])
+        ev = np.asarray(tree.edge_visits[0, 0]).astype(np.float64)
+        t = ev.sum()
+        if t <= 0:
+            return 0.0
+        q = ev / t
+        p = np.where(p > 0, p, 1e-30)
+        p = p / p.sum()
+        mask = q > 0
+        return float((q[mask] * np.log(q[mask] / p[mask])).sum())
+
+    def genmove_stream(
+        self,
+        max_visits: int,
+        interval_visits: int,
+        stop_check=None,
+        avoid: np.ndarray | None = None,
+        play: bool = True,
+        on_report=None,
+    ) -> tuple[int, AnalysisResult]:
+        """genmove over the chunked search: runs `search_stream` (so the host
+        can apply time-management stop conditions via `stop_check` and emit
+        kata-analyze interval reports via `on_report(tree, visits)`), then
+        chooses and optionally plays the move. The interruptible-genmove role
+        of the reference's runWholeSearchAndGetMove + shouldStop polling."""
+        tree = None
+        for tree, done in self.search_stream(
+            max_visits, interval_visits, avoid=avoid, stop_check=stop_check
+        ):
+            if on_report is not None:
+                on_report(tree, done)
+        action = int(mcts.select_moves(self.cfg, self.sp, tree, self._next_key())[0])
+        result = self._extract_analysis(tree)
+        if play:
+            area = self.cfg.area
+            d, spot = action // area, action % area
+            self.play(spot % self.cfg.x_size, spot // self.cfg.x_size, d)
+        return action, result
 
     def genmove(self, max_visits: int, play: bool = True) -> tuple[int, AnalysisResult]:
         """Search + choose a move (getChosenMoveLoc semantics). Returns
@@ -214,8 +349,14 @@ class Engine:
             self.play(spot % self.cfg.x_size, spot // self.cfg.x_size, d)
         return action, result
 
-    def analyze(self, max_visits: int, max_moves: int = 16, pv_len: int = 8) -> AnalysisResult:
-        tree = self.search(max_visits)
+    def analyze(
+        self,
+        max_visits: int,
+        max_moves: int = 16,
+        pv_len: int = 8,
+        avoid: np.ndarray | None = None,
+    ) -> AnalysisResult:
+        tree = self.search(max_visits, avoid=avoid)
         return self._extract_analysis(tree, max_moves=max_moves, pv_len=pv_len)
 
     # ------------------------------------------------------------------

@@ -488,14 +488,17 @@ def init_tree(
     rng: jax.Array,
     turn_number: jax.Array | None = None,
     root_hint: jax.Array | None = None,
+    root_avoid: jax.Array | None = None,
 ) -> Tree:
     """Allocate trees and evaluate the roots (beginSearch equivalent without
     tree reuse). `turn_number` [B] drives early-game temperature interp.
-    `root_hint` [B] = rootHintLoc action per game (-1 none)."""
+    `root_hint` [B] = rootHintLoc action per game (-1 none). `root_avoid`
+    [B,A] masks forbidden root moves (avoidMoves/allowMoves)."""
     k_eval, k_noise = jax.random.split(rng)
     res = _root_eval(cfg, sp, eval_fn, root_states, k_eval)
     return _tree_from_root_eval(
-        cfg, sp, root_states, res, max_nodes, k_noise, turn_number, root_hint
+        cfg, sp, root_states, res, max_nodes, k_noise, turn_number, root_hint,
+        root_avoid=root_avoid,
     )
 
 
@@ -508,6 +511,7 @@ def _tree_from_root_eval(
     k_noise: jax.Array,
     turn_number: jax.Array | None = None,
     root_hint: jax.Array | None = None,
+    root_avoid: jax.Array | None = None,
 ) -> Tree:
     B = root_states.board.shape[0]
     N = max_nodes
@@ -524,7 +528,8 @@ def _tree_from_root_eval(
 
     raw_prior = jnp.where(legal, res.policy, -1.0)
     root_prior = _make_root_prior(
-        cfg, sp, res.policy, legal, root_states, k_noise, turn_number, root_hint
+        cfg, sp, res.policy, legal, root_states, k_noise, turn_number, root_hint,
+        root_avoid=root_avoid,
     )
 
     w0 = _eval_weight(sp, res.shortterm_error)
@@ -631,11 +636,16 @@ def _root_symmetry_prune(cfg: GameConfig, states: GameState, prior: jax.Array) -
 def _make_root_prior(
     cfg, sp: SearchParams, policy, legal, root_states, k_noise, turn_number,
     root_hint: jax.Array | None = None,
+    root_avoid: jax.Array | None = None,
 ):
     """Root policy temperature (early-game interpolated) + Dirichlet noise
     (searchhelpers.cpp maybeAddPolicyNoiseAndTemp), the rootHintLoc 2%%
     policy shift (searchhelpers.cpp:206-218), plus optional root symmetry
-    pruning (a hinted action is exempted from pruning)."""
+    pruning (a hinted action is exempted from pruning) and avoid-move
+    masking (`root_avoid` [B,A] True = forbidden at root — the
+    avoidMoves/allowMoves restriction of analysis.cpp:106-191; a mask that
+    would leave no legal root move is ignored for that game, like the
+    reference falling back when avoidMoveUntilByLoc empties the root)."""
     if turn_number is None:
         turn_number = root_states.num_turns.astype(jnp.float32)
     else:
@@ -667,6 +677,12 @@ def _make_root_prior(
         shifted = policy * (1.0 - prop)
         shifted = shifted.at[bidx, hint_safe].add(moved)
         policy = jnp.where(hint_legal[:, None], shifted, policy)
+
+    if root_avoid is not None:
+        masked_legal = legal & ~root_avoid
+        any_left = masked_legal.any(-1)
+        legal = jnp.where(any_left[:, None], masked_legal, legal)
+        policy = jnp.where(legal, policy, 0.0)
 
     out = jnp.where(legal, policy, -1.0)
     if sp.rootSymmetryPruning:
@@ -1646,6 +1662,7 @@ def run_search(
     reuse_actions: jax.Array | None = None,
     reuse_ok: jax.Array | None = None,
     root_hint: jax.Array | None = None,
+    root_avoid: jax.Array | None = None,
 ) -> Tree:
     """runWholeSearch equivalent (search.cpp:361-509): playouts for each of
     the B games, fully on device. jit this (closing over cfg/sp/eval_fn/
@@ -1682,7 +1699,8 @@ def run_search(
 
     if reuse_tree is None:
         tree = init_tree(
-            cfg, sp, eval_fn, root_states, max_nodes, k_init, root_hint=root_hint
+            cfg, sp, eval_fn, root_states, max_nodes, k_init, root_hint=root_hint,
+            root_avoid=root_avoid,
         )
 
         if K > 1:
@@ -1720,7 +1738,7 @@ def run_search(
 
     tree = advance_root(
         cfg, sp, eval_fn, reuse_tree, reuse_actions, root_states, k_init,
-        reuse_ok=reuse_ok, root_hint=root_hint,
+        reuse_ok=reuse_ok, root_hint=root_hint, root_avoid=root_avoid,
     )
     target = float(num_sims + 1)
 
@@ -1769,6 +1787,76 @@ def run_search(
     return tree
 
 
+def continue_search(
+    cfg: GameConfig,
+    sp: SearchParams,
+    eval_fn: EvalFn,
+    tree: Tree,
+    max_more_sims: int,
+    rng: jax.Array,
+    target_visits: jax.Array | float,
+) -> Tree:
+    """Continue an existing search at the SAME root until each game's root
+    reaches `target_visits` total visits (dynamic, scalar or [B]), bounded by
+    `max_more_sims` additional playouts (static). This is the interruptible
+    half of the reference's search loop (runWholeSearch's shouldStop polling,
+    search.cpp:404-460): the host checks time/futility/streaming conditions
+    between chunks while the chunks themselves stay compiled. Because
+    `target_visits` is traced, ONE compilation serves every budget up to the
+    static bound. The tree must have been allocated with enough node capacity
+    for the final target (run_search's `max_nodes`)."""
+    max_depth = cfg.area + 1
+    if sp.useGraphSearch and sp.maxPlayoutDepthProp < 1.0:
+        max_depth = max(2, min(max_depth, int(round(max_depth * sp.maxPlayoutDepthProp))))
+    target = jnp.broadcast_to(
+        jnp.asarray(target_visits, jnp.float32), (tree.stats.shape[0],)
+    )
+
+    K = max(1, int(sp.numSearchThreads))
+    if K > 1:
+        scratch0 = make_round_scratch(cfg, tree, max_depth, K)
+
+        def cond(carry):
+            tree, rng, it, scratch = carry
+            return (it < max_more_sims) & jnp.any(tree.stats[:, 0, S_VISITS] < target)
+
+        def body(carry):
+            tree, rng, it, scratch = carry
+            k, rng = jax.random.split(rng)
+            deficit = target - tree.stats[:, 0, S_VISITS]
+            active = jnp.arange(K)[None, :] < deficit[:, None]
+            tree, _, scratch = _simulate_round(
+                cfg, sp, eval_fn, tree, k, max_depth, K,
+                active=active, scratch=scratch,
+            )
+            return tree, rng, it + 1, scratch
+
+        tree, _, _, _ = jax.lax.while_loop(
+            cond, body, (tree, rng, jnp.asarray(0, jnp.int32), scratch0)
+        )
+        return tree
+
+    scratch0 = make_sim_scratch(cfg, tree, max_depth)
+
+    def cond(carry):
+        tree, rng, it, scratch = carry
+        return (it < max_more_sims) & jnp.any(tree.stats[:, 0, S_VISITS] < target)
+
+    def body(carry):
+        tree, rng, it, scratch = carry
+        k, rng = jax.random.split(rng)
+        active = tree.stats[:, 0, S_VISITS] < target
+        tree, _, scratch = _simulate_once(
+            cfg, sp, eval_fn, tree, k, max_depth, active=active, scratch=scratch
+        )
+        return tree, rng, it + 1, scratch
+
+    tree, _, _, _ = jax.lax.while_loop(
+        cond, body, (tree, rng, jnp.asarray(0, jnp.int32), scratch0)
+    )
+    return tree
+
+
 def advance_root(
     cfg: GameConfig,
     sp: SearchParams,
@@ -1780,6 +1868,7 @@ def advance_root(
     reuse_ok: jax.Array | None = None,
     turn_number: jax.Array | None = None,
     root_hint: jax.Array | None = None,
+    root_avoid: jax.Array | None = None,
 ) -> Tree:
     """Re-root each game's tree at the child reached by `actions` —
     the reference's beginSearch tree reuse (search.cpp:262-331), as an array
@@ -1799,7 +1888,8 @@ def advance_root(
     k_eval, k_noise1, k_noise2 = jax.random.split(rng, 3)
     res = _root_eval(cfg, sp, eval_fn, root_states, k_eval)
     fresh = _tree_from_root_eval(
-        cfg, sp, root_states, res, N, k_noise1, turn_number, root_hint
+        cfg, sp, root_states, res, N, k_noise1, turn_number, root_hint,
+        root_avoid=root_avoid,
     )
 
     new_root = tree.children[bidx, 0, actions]  # [B]
@@ -1919,6 +2009,7 @@ def advance_root(
     reused_root_prior = _make_root_prior(
         cfg, sp, jnp.maximum(reused_raw, 0.0), legal,
         root_states, k_noise2, turn_number, root_hint,
+        root_avoid=root_avoid,
     )
     reused_rank = (
         g3(tree.policy_rank).at[:, 0].set(fresh.policy_rank[:, 0])

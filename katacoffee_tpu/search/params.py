@@ -105,6 +105,20 @@ class SearchParams:
 
     wideRootNoise: float = 0.0
 
+    # Time management shaping (searchparams.h:127-148, defaults
+    # searchparams.cpp:77-88; applied by recomputeSearchTimeLimit,
+    # searchtimehelpers.cpp — see search/timecontrols.py for the
+    # visit-budget adaptation). All neutral by default, as in the reference.
+    lagBuffer: float = 0.0
+    overallocateTimeFactor: float = 1.0
+    midgameTimeFactor: float = 1.0
+    midgameTurnPeakTime: float = 130.0
+    endgameTurnTimeDecay: float = 100.0
+    obviousMovesTimeFactor: float = 1.0
+    obviousMovesPolicyEntropyTolerance: float = 0.30
+    obviousMovesPolicySurpriseTolerance: float = 0.15
+    futileVisitsThreshold: float = 0.0
+
     @staticmethod
     def for_tests_v2() -> "SearchParams":
         """Mirror of SearchParams::forTestsV2 (searchparams.cpp:115-136):

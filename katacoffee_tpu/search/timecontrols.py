@@ -100,3 +100,113 @@ def visits_for_time(
         return max_visits
     v = int(time_budget * visits_per_second)
     return max(min_visits, min(v, max_visits))
+
+
+# ---------------------------------------------------------------------------
+# Time-management shaping (Search::recomputeSearchTimeLimit,
+# cpp/search/searchtimehelpers.cpp; params searchparams.h:127-148)
+# ---------------------------------------------------------------------------
+
+
+def midgame_weight(sp, turn_number: int, board_area: int) -> float:
+    """Midgame emphasis in [0,1]: linear ramp to midgameTurnPeakTime (scaled
+    by boardArea/361), then exponential decay with endgameTurnTimeDecay
+    (searchtimehelpers.cpp:47-66)."""
+    import math
+
+    scale = board_area / 361.0
+    t = max(float(turn_number), 0.0)
+    peak = sp.midgameTurnPeakTime * scale
+    if t < peak:
+        w = t / peak if peak > 0 else 1.0
+    else:
+        w = math.exp(-(t - peak) / (sp.endgameTurnTimeDecay * scale))
+    return min(max(w, 0.0), 1.0)
+
+
+def obviousness_weight(sp, policy_entropy: float, policy_surprise: float) -> float:
+    """How "obvious" this move is, in [0,1]: confident raw policy (low
+    entropy) AND a search that agreed with it (low surprise)
+    (searchtimehelpers.cpp:68-81)."""
+    import math
+
+    by_entropy = math.exp(-policy_entropy / sp.obviousMovesPolicyEntropyTolerance)
+    by_surprise = math.exp(-policy_surprise / sp.obviousMovesPolicySurpriseTolerance)
+    return min(by_entropy, by_surprise)
+
+
+def shaped_time_budget(
+    sp,
+    base_budget: float,
+    turn_number: int,
+    board_area: int,
+    policy_entropy: float | None = None,
+    policy_surprise: float | None = None,
+) -> float:
+    """The deterministic part of recomputeSearchTimeLimit
+    (searchtimehelpers.cpp:37-81): overallocation, midgame emphasis, and —
+    when this move's entropy/surprise are available (from a probe search in
+    our visit-bounded adaptation) — the obvious-move discount."""
+    rec = base_budget * sp.overallocateTimeFactor
+    if sp.midgameTimeFactor != 1.0:
+        w = midgame_weight(sp, turn_number, board_area)
+        rec *= 1.0 + w * (sp.midgameTimeFactor - 1.0)
+    if (
+        sp.obviousMovesTimeFactor < 1.0
+        and policy_entropy is not None
+        and policy_surprise is not None
+    ):
+        w = obviousness_weight(sp, policy_entropy, policy_surprise)
+        rec *= 1.0 + w * (sp.obviousMovesTimeFactor - 1.0)
+    return rec
+
+
+def interpolate_early(halflife: float, early: float, late: float, turn_number: float) -> float:
+    """Search::interpolateEarly (searchhelpers.cpp): exponential decay from
+    `early` to `late` with the given halflife in turns."""
+    frac = 0.5 ** (max(turn_number, 0.0) / max(halflife, 1e-9))
+    return late + (early - late) * frac
+
+
+def num_visits_needed_to_be_non_futile(
+    sp, max_visits_move_visits: float, chosen_move_temperature: float
+) -> float:
+    """Search::numVisitsNeededToBeNonFutile (searchtimehelpers.cpp:10-20):
+    an alternative move must be able to reach this many visits to still
+    matter, given futileVisitsThreshold and the move-choice temperature."""
+    required = sp.futileVisitsThreshold * max_visits_move_visits
+    if chosen_move_temperature < 1e-3:
+        return required
+    required_due_to_temp = max_visits_move_visits * (0.01**chosen_move_temperature)
+    return min(required, required_due_to_temp)
+
+
+def is_search_futile(
+    sp,
+    visit_counts,
+    play_selection_values,
+    visits_left_upper_bound: float,
+    chosen_move_temperature: float,
+) -> bool:
+    """The futile-visits early stop (searchtimehelpers.cpp:100-140): true
+    when the most-visited move is also the selected move and NO alternative
+    can reach non-futile visits within the remaining budget. In the
+    reference the budget is time-derived (computeUpperBoundVisitsLeftDueToTime);
+    in the lockstep engine it is the remaining visit budget directly."""
+    if sp.futileVisitsThreshold <= 0 or len(visit_counts) == 0:
+        return False
+    if len(visit_counts) != len(play_selection_values):
+        return False
+    best_idx = max(range(len(play_selection_values)), key=lambda i: play_selection_values[i])
+    max_idx = max(range(len(visit_counts)), key=lambda i: visit_counts[i])
+    if best_idx != max_idx:
+        return False
+    required = num_visits_needed_to_be_non_futile(
+        sp, visit_counts[max_idx], chosen_move_temperature
+    )
+    for i, v in enumerate(visit_counts):
+        if i == best_idx:
+            continue
+        if v + visits_left_upper_bound >= required:
+            return False
+    return True

@@ -354,6 +354,182 @@ class TestTimeControls:
         assert visits_for_time(0.0, 100.0, 600) == 2
 
 
+class TestTimeShaping:
+    """searchtimehelpers.cpp formula parity (recomputeSearchTimeLimit,
+    numVisitsNeededToBeNonFutile; params searchparams.h:127-148)."""
+
+    def _sp(self, **kw):
+        return SearchParams(**kw)
+
+    def test_midgame_weight_formula(self):
+        import math
+
+        from katacoffee_tpu.search.timecontrols import midgame_weight
+
+        sp = self._sp(midgameTimeFactor=1.5, midgameTurnPeakTime=130.0,
+                      endgameTurnTimeDecay=100.0)
+        area = 361  # scale 1.0 so the formula is direct
+        # ramp: t < peak -> t/peak
+        assert midgame_weight(sp, 65, area) == pytest.approx(0.5)
+        # at peak -> exp(0) = 1
+        assert midgame_weight(sp, 130, area) == pytest.approx(1.0)
+        # decay: exp(-(t-peak)/decay)
+        assert midgame_weight(sp, 230, area) == pytest.approx(math.exp(-1.0))
+        # board-area scaling: peak scales by area/361
+        small = midgame_weight(sp, 9, 25)  # peak = 130*25/361 = 9.002...
+        assert small == pytest.approx(9 / (130 * 25 / 361))
+
+    def test_obviousness_weight_formula(self):
+        import math
+
+        from katacoffee_tpu.search.timecontrols import obviousness_weight
+
+        sp = self._sp(obviousMovesPolicyEntropyTolerance=0.30,
+                      obviousMovesPolicySurpriseTolerance=0.15)
+        # min of the two exponentials (searchtimehelpers.cpp:75-78)
+        w = obviousness_weight(sp, 0.30, 0.15)
+        assert w == pytest.approx(math.exp(-1.0))
+        w = obviousness_weight(sp, 0.0, 0.30)
+        assert w == pytest.approx(min(1.0, math.exp(-2.0)))
+
+    def test_shaped_budget(self):
+        from katacoffee_tpu.search.timecontrols import shaped_time_budget
+
+        # neutral params -> identity
+        sp = self._sp()
+        assert shaped_time_budget(sp, 10.0, 50, 25) == pytest.approx(10.0)
+        # overallocate multiplies; midgame factor interpolates by weight
+        sp = self._sp(overallocateTimeFactor=1.2, midgameTimeFactor=2.0,
+                      midgameTurnPeakTime=130.0, endgameTurnTimeDecay=100.0)
+        t = shaped_time_budget(sp, 10.0, 130 * 25 // 361, 25)
+        # at (approximately) the scaled peak, weight ~ 1 -> x2
+        assert t > 10.0 * 1.2 * 1.8
+        # obvious-move discount applies only when entropy+surprise given
+        sp = self._sp(obviousMovesTimeFactor=0.5)
+        full = shaped_time_budget(sp, 10.0, 5, 25)
+        disc = shaped_time_budget(sp, 10.0, 5, 25, policy_entropy=0.0, policy_surprise=0.0)
+        assert full == pytest.approx(10.0)
+        assert disc == pytest.approx(5.0)  # weight 1 -> 1 + 1*(0.5-1) = 0.5
+
+    def test_futile_visits(self):
+        from katacoffee_tpu.search.timecontrols import (
+            is_search_futile,
+            num_visits_needed_to_be_non_futile,
+        )
+
+        sp = self._sp(futileVisitsThreshold=0.5)
+        # temp 0: required = threshold * maxVisits
+        assert num_visits_needed_to_be_non_futile(sp, 100.0, 0.0) == pytest.approx(50.0)
+        # high temperature lowers the requirement via 0.01^temp
+        assert num_visits_needed_to_be_non_futile(sp, 100.0, 1.0) == pytest.approx(1.0)
+        # futile: best==max-visits move, no alternative can reach 50
+        assert is_search_futile(sp, [100, 10, 5], [100, 10, 5], 20.0, 0.0)
+        # not futile: an alternative can still reach the requirement
+        assert not is_search_futile(sp, [100, 40, 5], [100, 40, 5], 20.0, 0.0)
+        # not futile when the selected move is not the most-visited one
+        assert not is_search_futile(sp, [100, 10], [10, 100], 20.0, 0.0)
+        # threshold 0 disables
+        sp0 = self._sp()
+        assert not is_search_futile(sp0, [100, 1], [100, 1], 0.0, 0.0)
+
+    def test_interpolate_early(self):
+        from katacoffee_tpu.search.timecontrols import interpolate_early
+
+        assert interpolate_early(19.0, 0.8, 0.2, 0) == pytest.approx(0.8)
+        assert interpolate_early(19.0, 0.8, 0.2, 19) == pytest.approx(0.5)
+        assert interpolate_early(19.0, 0.8, 0.2, 1e9) == pytest.approx(0.2)
+
+
+class TestGTPStreamingAndAvoid:
+    def _run_session(self, text, max_visits=24):
+        import io
+
+        from katacoffee_tpu.command.gtp import GTPEngine
+
+        eng = GTPEngine(CFG, SP, max_visits=max_visits)
+        inf, outf = io.StringIO(text), io.StringIO()
+        eng.run(inf, outf)
+        return outf.getvalue()
+
+    def test_kata_analyze_interval_streams(self):
+        out = self._run_session("play B C3 north\nkata-analyze interval 1\nquit\n")
+        # streamed response: '=' line then >=2 interval reports
+        lines = out.splitlines()
+        infos = [l for l in lines if l.startswith("info move ")]
+        assert len(infos) >= 2, out
+
+    def test_genmove_analyze_interval_streams_and_plays(self):
+        out = self._run_session(
+            "play B C3 north\nkata-genmove_analyze white interval 1\nquit\n"
+        )
+        infos = [l for l in out.splitlines() if l.startswith("info move ")]
+        plays = [l for l in out.splitlines() if l.startswith("play ")]
+        assert len(infos) >= 2, out
+        assert len(plays) == 1, out
+
+    def test_avoid_moves(self):
+        # white constrained to column C after B C3 north; forbid C4N
+        out = gtp_session(
+            ["play B C3 north", "kata-analyze white avoid W C4N 1"],
+        )
+        rep = out[1]
+        assert rep.startswith("= info move") or rep.startswith("="), rep
+        assert "move C4N " not in rep
+
+    def test_allow_moves(self):
+        out = gtp_session(
+            ["play B C3 north", "kata-analyze white allow W C4N 1"],
+        )
+        rep = out[1]
+        # only the allowed move may appear
+        import re
+
+        moves = re.findall(r"info move (\S+)", rep)
+        assert moves == ["C4N"], rep
+
+    def test_avoid_all_falls_back(self):
+        # masking every legal move is ignored (reference fallback)
+        legal_cols = "C1N,C2N,C4N,C5N,C1NW,C2NW,C4NW,C5NW,C1NE,C2NE,C4NE,C5NE,C1W,C2W,C4W,C5W"
+        out = gtp_session(["play B C3 north", f"kata-analyze white avoid W {legal_cols} 1"])
+        assert "info move" in out[1]
+
+
+class TestAnalysisAvoidAndStreaming:
+    def _engine(self):
+        from katacoffee_tpu.command.analysis import AnalysisEngine
+
+        return AnalysisEngine(SP, default_visits=16)
+
+    def test_avoid_moves_json(self):
+        eng = self._engine()
+        results = list(eng.handle_query({
+            "id": "q", "moves": [["B", "C3N"]], "maxVisits": 16,
+            "avoidMoves": [{"player": "W", "moves": ["C4N"], "untilDepth": 1}],
+        }))
+        (r,) = [r for r in results if r.get("moveInfos") is not None]
+        assert all(mi["move"] != "C4N" for mi in r["moveInfos"]), r
+
+    def test_allow_moves_json(self):
+        eng = self._engine()
+        results = list(eng.handle_query({
+            "id": "q", "moves": [["B", "C3N"]], "maxVisits": 16,
+            "allowMoves": [{"player": "W", "moves": ["C4N"], "untilDepth": 1}],
+        }))
+        (r,) = [r for r in results if r.get("moveInfos") is not None]
+        assert [mi["move"] for mi in r["moveInfos"]] == ["C4N"], r
+
+    def test_report_during_search(self):
+        eng = self._engine()
+        results = list(eng.handle_query({
+            "id": "q", "moves": [["B", "C3N"]], "maxVisits": 24,
+            "reportDuringSearchEvery": 1e-9,
+        }))
+        during = [r for r in results if r.get("isDuringSearch")]
+        finals = [r for r in results if r.get("isDuringSearch") is False and "moveInfos" in r]
+        assert len(during) >= 1, results
+        assert len(finals) == 1, results
+
+
 class TestStartposCommands:
     """viewstartposes / trystartposes / sampleinitializations
     (misc.cpp:2230,2388,2544)."""
