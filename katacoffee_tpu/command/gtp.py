@@ -25,6 +25,7 @@ behavior GUIs rely on).
 
 from __future__ import annotations
 
+import dataclasses
 import select
 import sys
 import time
@@ -334,7 +335,7 @@ class GTPEngine:
             cmd_id = pieces[0]
             pieces = pieces[1:]
             if not pieces:
-                return f"?{cmd_id} no command"
+                return (f"?{cmd_id} no command", False)
         cmd, args = pieces[0], pieces[1:]
 
         self._cmd_id = cmd_id
@@ -343,6 +344,8 @@ class GTPEngine:
             ok, resp, quit_ = self._dispatch(cmd, args)
         except (ValueError, IllegalMoveError) as e:
             ok, resp, quit_ = False, str(e), False
+        except OSError as e:  # loadsgf/printsgf file errors (gtp.cpp responds "?")
+            ok, resp, quit_ = False, f"could not open file: {e}", False
         if self._already_responded:
             return ""  # streamed commands write their own response
 
@@ -464,7 +467,7 @@ class GTPEngine:
             else:
                 raise ValueError(f"unknown time system {system}")
             for pla in (1, 2):
-                self.time_controls[pla] = tc
+                self.time_controls[pla] = dataclasses.replace(tc)
         elif cmd == "kata-list_time_settings":
             resp = "none absolute fischer byoyomi"
         elif cmd == "kata-time_settings":
@@ -478,10 +481,20 @@ class GTPEngine:
             else:
                 tc = TimeControls()
             for pla in (1, 2):
-                self.time_controls[pla] = tc
+                self.time_controls[pla] = dataclasses.replace(tc)
         elif cmd == "time_left":
+            # GTP: time_left <color> <time> <stones>; stones > 0 means the
+            # player is in overtime with that many periods/stones remaining
             pla = _parse_player(args[0])
-            self.time_controls[pla].main_time_left = float(args[1])
+            tc = self.time_controls[pla]
+            stones = int(args[2]) if len(args) > 2 else 0
+            if stones > 0 and tc.system == "byo_yomi":
+                tc.main_time_left = 0.0
+                tc.in_overtime = True
+                tc.periods_left = stones
+                tc.period_time = max(float(args[1]), 0.0) if tc.period_time == 0 else tc.period_time
+            else:
+                tc.main_time_left = float(args[1])
         elif cmd == "kata-debug-print-tc":
             resp = repr(self.time_controls)
         elif cmd == "final_score":

@@ -1,10 +1,10 @@
-"""Misc commands: demoplay and samplesgfs/dataminesgfs.
+"""Misc commands: demoplay, samplesgfs, dataminesgfs.
 
 The role of the reference's `cpp/command/misc.cpp` subcommands
 (main.cpp dispatch): `demoplay` — watch the engine play itself with board
 printouts; `samplesgfs` — sample positions out of SGF collections into a
-startposes dir (the simple half of dataminesgfs; the search-filtered
-"hintposes" mining is a round-2 item, SURVEY.md misc.cpp:577,1184)."""
+startposes dir; `dataminesgfs` — search-filtered hint-position mining
+(reference misc.cpp:577,1184), implemented below in main_dataminesgfs."""
 
 from __future__ import annotations
 

@@ -29,7 +29,17 @@ def run_script(name: str) -> str:
     return out.getvalue()
 
 
-@pytest.mark.parametrize("script", ["gtp_basic.txt"])
+@pytest.mark.parametrize(
+    "script",
+    [
+        "gtp_basic.txt",
+        "gtp_time.txt",
+        "gtp_set_position.txt",
+        "gtp_rules.txt",
+        "gtp_printsgf.txt",
+        "gtp_errors.txt",
+    ],
+)
 def test_gtp_golden(script):
     got = run_script(script)
     golden_path = os.path.join(GOLDEN_DIR, script.replace(".txt", ".expected"))
