@@ -78,10 +78,13 @@ class ContributeClient:
     # -- one work cycle ---------------------------------------------------
 
     def run_cycle(self, moves_per_segment: int = 64, batch_size: int | None = None) -> int:
-        """Poll a task, play one segment, upload data. Returns rows uploaded."""
+        """Poll a task, do the work, upload. Selfplay tasks return rows
+        uploaded; rating tasks (contribute.cpp:128,188) return games played."""
         task = self.get_task()
         cfg = GameConfig(task["xSize"], task["ySize"], task["winLen"])
         conf = task.get("config", {})
+        if task.get("taskType") == "rating":
+            return self._run_rating_task(task, cfg, conf, batch_size)
         name = task["modelName"]
         B = batch_size or int(conf.get("numParallelGames", 64))
         visits = int(conf.get("maxVisits", 600))
@@ -119,6 +122,56 @@ class ContributeClient:
         self.logger.write(f"contribute: uploaded {rows} rows for model {name}")
         return rows
 
+    def _run_rating_task(self, task: dict, cfg: GameConfig, conf: dict,
+                         batch_size: int | None) -> int:
+        """Play a server-assigned model-vs-model rating match and upload the
+        SGFs (PB/PW = model names) for the server-side Elo summarizer —
+        the reference's rating-game path (contribute.cpp:188,974).
+
+        Deviation (batched idiom): instead of one game at server-assigned
+        colors, the client plays a small batched match with colors alternated
+        across games; each uploaded SGF's PB/PW reflects the actual colors,
+        so the Elo fit sees exactly what was played."""
+        import dataclasses as dc
+
+        from katacoffee_tpu.program.match import match_sgfs, run_match
+
+        name_b, name_w = task["modelBlack"], task["modelWhite"]
+        games = batch_size or int(conf.get("numRatingGames", 8))
+        visits = int(conf.get("maxVisits", 150))
+
+        evals = {}
+        for name in (name_b, name_w):
+            model_dir = self.ensure_model(name)
+            if model_dir is None:
+                evals[name] = uniform_eval_fn(cfg)
+            else:
+                model, params, _mcfg, _meta = load_exported_model(model_dir)
+                evals[name] = make_nn_eval_fn(cfg, model, params)
+
+        # pure strength comparison: no root noise, slight opening variety —
+        # the same profile the gatekeeper uses
+        sp = dc.replace(
+            SearchParams.for_selfplay(),
+            rootNoiseEnabled=False,
+            rootDesiredPerChildVisitsCoeff=0.0,
+            chosenMoveTemperature=0.0,
+            chosenMoveTemperatureEarly=0.3,
+        )
+        self.rng, k = jax.random.split(self.rng)
+        seed = int(jax.random.randint(k, (), 0, 2**31 - 1))
+        result = run_match(
+            cfg, sp, sp, evals[name_b], evals[name_w],
+            num_games=games, num_visits=visits, seed=seed, record_moves=True,
+        )
+        for text in match_sgfs(cfg, result, name_b, name_w):
+            self._request("/api/ratinggames", data=(text + "\n").encode())
+        self.logger.write(
+            f"contribute: rating {name_b} vs {name_w}: "
+            f"{result.wins_a}-{result.wins_b}-{result.draws} ({result.games} games)"
+        )
+        return result.games
+
     def run(self, max_cycles: int | None = None):
         n = 0
         while max_cycles is None or n < max_cycles:
@@ -147,8 +200,16 @@ def main_serve(argv, **kw):
     ap.add_argument("-base-dir", required=True)
     ap.add_argument("-host", default="0.0.0.0")
     ap.add_argument("-port", type=int, default=8088)
+    ap.add_argument("-rating-game-prob", type=float, default=0.0,
+                    help="fraction of tasks that are model-vs-model rating matches")
+    ap.add_argument("-rating-visits", type=int, default=150)
+    ap.add_argument("-rating-games", type=int, default=8)
     args = ap.parse_args(argv)
     cfg = GameConfig(5, 5, 4)
-    server = ContributionServer(args.base_dir, cfg, host=args.host, port=args.port)
+    server = ContributionServer(
+        args.base_dir, cfg, host=args.host, port=args.port,
+        rating_game_prob=args.rating_game_prob,
+        rating_config={"maxVisits": args.rating_visits, "numRatingGames": args.rating_games},
+    )
     print(f"serving contribution bus for {args.base_dir} at {server.url}")
     server.serve_forever()

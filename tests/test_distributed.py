@@ -72,6 +72,46 @@ class TestBus:
         sgfs = os.listdir(os.path.join(base, "selfplay", "random", "sgfs"))
         assert sgfs
 
+    def test_rating_games_round_trip(self, tmp_path):
+        """Server assigns a rating task, client plays the batched match and
+        uploads SGFs, the Elo summarizer consumes them — the reference's
+        volunteer rating-game loop (contribute.cpp:128,188,974)."""
+        from katacoffee_tpu.command.summarize_sgfs import collect_results
+        from katacoffee_tpu.nn.configs import get_model_spec
+        from katacoffee_tpu.nn.model import CoffeeNet, init_params
+        from katacoffee_tpu.utils import compute_elos
+
+        base = str(tmp_path / "server")
+        models = os.path.join(base, "models")
+        os.makedirs(models, exist_ok=True)
+        for i in range(2):
+            model = CoffeeNet(get_model_spec("b1c6"), win_len=4)
+            params = init_params(model, CFG, jax.random.PRNGKey(i))
+            export_model(models, f"net-{i}", params, "b1c6", CFG)
+        srv = ContributionServer(
+            base, CFG, rating_game_prob=1.0,
+            rating_config={"maxVisits": 6, "numRatingGames": 2},
+            rating_seed=0,
+        ).start()
+        try:
+            with urllib.request.urlopen(srv.url + "/api/task") as r:
+                task = json.loads(r.read())
+            assert task["taskType"] == "rating"
+            assert {task["modelBlack"], task["modelWhite"]} == {"net-0", "net-1"}
+
+            client = ContributeClient(srv.url, str(tmp_path / "cache"), logger=Logger(), seed=0)
+            games = client.run_cycle(batch_size=2)
+            assert games == 2
+            rating_dir = os.path.join(base, "ratinggames")
+            sgfs = [f for f in os.listdir(rating_dir) if f.endswith(".sgf")]
+            assert len(sgfs) == 2
+            records = collect_results([rating_dir])
+            assert sum(r[2] + r[3] + r[4] for r in records) == 2
+            elos = compute_elos(records)
+            assert set(elos.as_dict()) == {"net-0", "net-1"}
+        finally:
+            srv.stop()
+
     def test_contribute_uses_exported_model(self, server, tmp_path):
         srv, base = server
         from katacoffee_tpu.nn.configs import get_model_spec
