@@ -2111,26 +2111,41 @@ def select_moves(
     selection with optional LCB override and temperature. Returns [B] flat
     actions."""
     B = tree.children.shape[0]
+    A = tree.children.shape[-1]
     visits = root_visit_counts(tree).astype(jnp.float32)  # [B, A]
     legal = tree.root_prior >= 0
 
     if sp.useLcbForSelection:
+        # Reference weight-blend (getPlaySelectionValues,
+        # searchresults.cpp:188-233, useNonBuggyLcb): the best-LCB eligible
+        # child's play-selection WEIGHT is boosted to
+        # max_i ((radius_i+excess_i)/(radius_i+0.2*excess_i))^2 * w_i over
+        # children whose LCB it beats, then the temperature choice runs over
+        # the adjusted weights. Deviations (documented): eligibility compares
+        # against the max child weight rather than the goodness-picked
+        # nonLCB-best child, and no over-visited weight reduction.
         u, stdev, w = _child_utility_stdev(tree)
-        lcb = u - sp.lcbStdevs * stdev
-        max_v = visits.max(-1, keepdims=True)
-        eligible = (visits >= sp.minVisitPropForLCB * max_v) & (visits > 0)
-        lcb = jnp.where(eligible, lcb, -1e30)
-        best_lcb = lcb.max(-1, keepdims=True)
-        # pretend moves with worse LCB than the best have reduced weight:
-        # the simplified override picks the best-LCB move when its LCB beats
-        # the most-visited move's mean utility (useNonBuggyLcb semantics)
-        most_visited = jnp.argmax(visits, -1)
-        mv_u = jnp.take_along_axis(u, most_visited[:, None], axis=-1)
-        use_lcb = (best_lcb > mv_u).squeeze(-1)
-        lcb_choice = jnp.argmax(lcb, -1)
+        radius = sp.lcbStdevs * stdev
+        lcb = u - radius
+        max_w = w.max(-1, keepdims=True)
+        eligible = (w > 0) & (w >= sp.minVisitPropForLCB * max_w)
+        lcb_elig = jnp.where(eligible, lcb, -jnp.inf)
+        best_lcb = lcb_elig.max(-1, keepdims=True)
+        best_idx = jnp.argmax(lcb_elig, -1)
+        any_elig = eligible.any(-1)
+        excess = best_lcb - lcb  # >= 0 unless an ineligible child has better LCB
+        rf = (radius + excess) / jnp.maximum(radius + 0.2 * excess, _EPS)
+        onehot_best = jax.nn.one_hot(best_idx, A, dtype=bool)
+        lbound = jnp.where(
+            (excess >= 0) & ~onehot_best & (w > 0), rf * rf * w, 0.0
+        )
+        boosted = jnp.maximum(
+            jnp.take_along_axis(w, best_idx[:, None], axis=-1),
+            lbound.max(-1, keepdims=True),
+        )
+        w_sel = jnp.where(onehot_best & any_elig[:, None], boosted, w)
     else:
-        use_lcb = jnp.zeros((B,), bool)
-        lcb_choice = jnp.zeros((B,), jnp.int32)
+        w_sel = root_child_weights(tree)
 
     # temperature choice (chooseIndexWithTemperature)
     if turn_number is None:
@@ -2143,11 +2158,14 @@ def select_moves(
     )
     temp = jnp.maximum(temp, 1e-4)
 
-    v = jnp.maximum(visits - sp.chosenMoveSubtract, 0.0)
-    v = jnp.where(visits < sp.chosenMovePrune, 0.0, v)
+    # chooseIndexWithTemperature over play-selection weights (the reference
+    # subtracts chosenMoveSubtract and prunes below chosenMovePrune on the
+    # same weights, searchresults.cpp getChosenMoveLoc)
+    v = jnp.maximum(w_sel - sp.chosenMoveSubtract, 0.0)
+    v = jnp.where(w_sel < sp.chosenMovePrune, 0.0, v)
     v = jnp.where(legal, v, 0.0)
     logits = jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-30)) / temp[:, None], -jnp.inf)
-    # if no child has visits (can't happen after >=1 sim on a live game),
+    # if no child has weight (can't happen after >=1 sim on a live game),
     # fall back to argmax prior
     any_v = (v > 0).any(-1)
     fallback = jnp.argmax(jnp.where(legal, tree.root_prior, -jnp.inf), -1)
@@ -2156,7 +2174,7 @@ def select_moves(
     # hard-argmax when temperature is effectively zero
     choice = jnp.where(temp[:] <= 1e-3, greedy, sampled)
     choice = jnp.where(any_v, choice, fallback)
-    return jnp.where(use_lcb, lcb_choice, choice).astype(jnp.int32)
+    return choice.astype(jnp.int32)
 
 
 def policy_target(tree: Tree, sp: SearchParams) -> jax.Array:

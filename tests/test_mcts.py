@@ -2,6 +2,7 @@
 reference's runsearchtests golden traces), tactical sanity, and the
 north-star batched uniform-prior config."""
 
+import dataclasses
 import functools
 
 import jax
@@ -243,6 +244,136 @@ class TestTactics:
         assert rv.argmax() == win_action, (rv[win_action], rv.max())
         # and the root value should be clearly winning
         assert float(root_values(tree)["root_utility"][0]) > 0.5
+
+
+def lcb_oracle_choice(tree, sp, game=0):
+    """Scalar port of the reference's LCB play-selection blend
+    (searchresults.cpp:188-233 under useNonBuggyLcb, then argmax at temp 0):
+    independent loops over raw tree arrays, reference edge-scaling
+    childWeight = weightSum * edgeVisits / childVisits (searchnode.h:59-64)."""
+    import math
+
+    children = np.asarray(tree.children[game, 0])
+    evis = np.asarray(tree.edge_visits[game, 0]).astype(float)
+    stats = np.asarray(tree.stats[game])
+    A = children.shape[0]
+    w = np.zeros(A)
+    u = np.zeros(A)
+    radius = np.zeros(A)
+    lcb = np.full(A, -1e30)
+    for i in range(A):
+        c = children[i]
+        if c < 0 or evis[i] <= 0:
+            continue
+        scale = evis[i] / max(stats[c, 0], 1.0)  # S_VISITS = 0
+        w[i] = stats[c, 1] * scale  # S_W
+        wsq = stats[c, 2] * scale * scale  # S_WSQ
+        u[i] = -stats[c, 3]  # S_U, parent perspective
+        usq = stats[c, 4]  # S_USQ
+        var = max(usq - u[i] * u[i], 1e-8)
+        ess = w[i] ** 2 / wsq if wsq > 0 else 1.0
+        radius[i] = sp.lcbStdevs * math.sqrt(var / max(ess, 1.0))
+        lcb[i] = u[i] - radius[i]
+    max_w = w.max()
+    best_lcb, best_idx = -1e30, -1
+    for i in range(A):
+        if w[i] > 0 and w[i] >= sp.minVisitPropForLCB * max_w and lcb[i] > best_lcb:
+            best_lcb, best_idx = lcb[i], i
+    w_sel = w.copy()
+    if sp.useLcbForSelection and best_idx >= 0:
+        adjusted = w[best_idx]
+        for i in range(A):
+            if i == best_idx or w[i] <= 0:
+                continue
+            excess = best_lcb - lcb[i]
+            if excess < 0:
+                continue
+            rf = (radius[i] + excess) / (radius[i] + 0.2 * excess)
+            adjusted = max(adjusted, rf * rf * w[i])
+        w_sel[best_idx] = adjusted
+    return int(np.argmax(w_sel))
+
+
+class TestLcbSelection:
+    """The reference's LCB weight-blend on constructed cases (VERDICT weak
+    #5): hand-edited child stats force each regime, and the batched
+    select_moves must match the independent scalar oracle."""
+
+    def _base_tree(self):
+        sp = SIMPLE
+        roots = batched_roots(CFG, 1)
+        return searcher(sp, 60)(roots, jax.random.PRNGKey(3))
+
+    def _set_child(self, tree, slot_action, visits, w, u, usq, wsq=None):
+        """Overwrite the stats row of the root child at flat action."""
+        c = int(np.asarray(tree.children[0, 0, slot_action]))
+        assert c >= 0
+        wsq = wsq if wsq is not None else (w * w / visits)
+        row = np.asarray(tree.stats[0, c]).copy()
+        row[0], row[1], row[2], row[3], row[4] = visits, w, wsq, -u, usq
+        stats = np.asarray(tree.stats).copy()
+        stats[0, c] = row
+        ev = np.asarray(tree.edge_visits).copy()
+        ev[0, 0, slot_action] = visits
+        return tree._replace(
+            stats=jnp.asarray(stats), edge_visits=jnp.asarray(ev)
+        )
+
+    def _choice(self, tree, sp):
+        return int(
+            np.asarray(
+                select_moves(CFG, sp, tree, jax.random.PRNGKey(0))
+            )[0]
+        )
+
+    def test_lcb_override_prefers_confident_runner_up(self):
+        """Runner-up with better utility and tight radius must win the
+        blend over a more-visited but worse child."""
+        sp = dataclasses.replace(
+            SIMPLE, useLcbForSelection=True, lcbStdevs=5.0,
+            minVisitPropForLCB=0.15, chosenMoveTemperature=0.0,
+            chosenMoveTemperatureEarly=0.0,
+        )
+        tree = self._base_tree()
+        acts = [int(a) for a in np.argsort(-np.asarray(tree.edge_visits[0, 0]))[:2]]
+        # most-visited: 40 visits, mean u 0.10, high variance
+        tree = self._set_child(tree, acts[0], 40.0, 40.0, 0.10, 0.6)
+        # runner-up: 20 visits (eligible), mean u 0.5, tiny variance
+        tree = self._set_child(tree, acts[1], 20.0, 20.0, 0.5, 0.2501)
+        got = self._choice(tree, sp)
+        assert got == lcb_oracle_choice(tree, sp)
+        assert got == acts[1]
+
+    def test_ineligible_child_cannot_win(self):
+        """A child below minVisitPropForLCB of the max weight is excluded
+        from best-LCB no matter how good its LCB is."""
+        sp = dataclasses.replace(
+            SIMPLE, useLcbForSelection=True, lcbStdevs=5.0,
+            minVisitPropForLCB=0.5, chosenMoveTemperature=0.0,
+            chosenMoveTemperatureEarly=0.0,
+        )
+        tree = self._base_tree()
+        acts = [int(a) for a in np.argsort(-np.asarray(tree.edge_visits[0, 0]))[:2]]
+        tree = self._set_child(tree, acts[0], 40.0, 40.0, 0.10, 0.0101)
+        # stellar but ineligible (20 < 0.5 * 40)
+        tree = self._set_child(tree, acts[1], 19.0, 19.0, 0.9, 0.8101)
+        got = self._choice(tree, sp)
+        assert got == lcb_oracle_choice(tree, sp)
+        assert got == acts[0]
+
+    def test_oracle_match_on_searched_trees(self):
+        """On real searched trees (no hand edits), the batched selection at
+        temp 0 equals the scalar oracle for every game."""
+        sp = dataclasses.replace(
+            SIMPLE, useLcbForSelection=True, lcbStdevs=5.0,
+            minVisitPropForLCB=0.15, chosenMoveTemperature=0.0,
+            chosenMoveTemperatureEarly=0.0,
+        )
+        roots = batched_roots(CFG, 8)
+        tree = searcher(sp, 80)(roots, jax.random.PRNGKey(11))
+        sel = np.asarray(select_moves(CFG, sp, tree, jax.random.PRNGKey(0)))
+        for g in range(8):
+            assert sel[g] == lcb_oracle_choice(tree, sp, game=g), g
 
 
 class TestMoveSelection:
