@@ -17,6 +17,7 @@ reference also allows).
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 import time
 
@@ -177,28 +178,39 @@ def run_selfplay_daemon(
         else:
             logger.write(f"selfplay: no usable hint positions in {spc.hintposes_dir}")
 
+    n_dev = len(jax.devices())
+    mesh_active = spc.use_mesh and n_dev > 1 and spc.batch_size % n_dev == 0
+    # under the mesh, pool capacities are sharded over devices too (their
+    # per-shard updates diverge, parallel/mesh.py shard_map_batched)
+    cap_round = (8 * n_dev // math.gcd(8, n_dev)) if mesh_active else 8
     settings = SelfplaySettings(
         num_sims=spc.num_sims,
         startposes_prob=startposes_prob,
         hintposes_prob=hintposes_prob,
         side_position_prob=spc.side_position_prob,
         side_position_capacity=max(
-            16,
-            -(-int(spc.batch_size * spc.moves_per_segment * spc.side_position_prob * 2) // 8) * 8,
+            cap_round * 2,
+            -(-int(spc.batch_size * spc.moves_per_segment * spc.side_position_prob * 2)
+              // cap_round) * cap_round,
         ),
         early_fork_game_prob=spc.early_fork_game_prob,
         fork_game_prob=spc.fork_game_prob,
     )
+    if mesh_active and settings.fork_pool_capacity % cap_round != 0:
+        settings = dataclasses.replace(
+            settings,
+            fork_pool_capacity=-(-settings.fork_pool_capacity // cap_round) * cap_round,
+        )
     states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(spc.batch_size))
     ep = jnp.zeros((spc.batch_size,), jnp.int32)
-    n_dev = len(jax.devices())
-    if spc.use_mesh and n_dev > 1 and spc.batch_size % n_dev == 0:
+    mesh = None
+    if mesh_active:
         from katacoffee_tpu.parallel import make_data_mesh, shard_leading_axis
 
         mesh = make_data_mesh()
         states = shard_leading_axis(mesh, states)
         ep = shard_leading_axis(mesh, ep)
-        logger.write(f"selfplay: game batch sharded over {n_dev} devices")
+        logger.write(f"selfplay: game batch sharded over {n_dev} devices (shard_map)")
 
     segment_fn = None
     writer = None
@@ -241,27 +253,50 @@ def run_selfplay_daemon(
                 fork_pool=fp,
             )
 
-        segment_fn = jax.jit(seg_fn)
-        if settings.side_position_prob > 0.0:
-            from katacoffee_tpu.selfplay import init_side_state, run_side_segment
+        def side_fn_raw(ss, t, r):
+            from katacoffee_tpu.selfplay import run_side_segment
 
-            side_state = init_side_state(cfg, settings.side_position_capacity)
-            side_fn = jax.jit(
-                lambda ss, t, r: run_side_segment(cfg, sp, settings, ev, ss, t, r)
-            )
-        if use_game_forks:
+            return run_side_segment(cfg, sp, settings, ev, ss, t, r)
+
+        def fork_fn_raw(s, v, mc, fo, r):
             from katacoffee_tpu.selfplay.forking import choose_fork_moves
 
-            fork_fn = jax.jit(
-                lambda s, v, mc, fo, r: choose_fork_moves(
-                    cfg, ev, s, v, mc, fo, r,
-                    min_choices=settings.fork_game_min_choices,
-                    num_lanes=max(
-                        settings.early_fork_game_max_choices,
-                        settings.fork_game_max_choices,
-                    ),
-                )
+            return choose_fork_moves(
+                cfg, ev, s, v, mc, fo, r,
+                min_choices=settings.fork_game_min_choices,
+                num_lanes=max(
+                    settings.early_fork_game_max_choices,
+                    settings.fork_game_max_choices,
+                ),
             )
+
+        if mesh_active:
+            # manual SPMD: the GSPMD partitioner reshards while_loop carries
+            # (hundreds of all-gathers, ~0.4x per-device retention measured
+            # on the virtual mesh); shard_map runs each shard's lockstep
+            # independently with per-shard gating (tools/scaling_bench.py)
+            from katacoffee_tpu.parallel import shard_map_batched
+
+            sizes = (
+                spc.batch_size,
+                settings.side_position_capacity,
+                settings.fork_pool_capacity,
+            )
+            segment_fn = jax.jit(shard_map_batched(mesh, seg_fn, sizes, rng_arg_index=2))
+            wrapped_side = shard_map_batched(mesh, side_fn_raw, sizes, rng_arg_index=2)
+            wrapped_fork = shard_map_batched(mesh, fork_fn_raw, sizes, rng_arg_index=4)
+        else:
+            segment_fn = jax.jit(seg_fn)
+            wrapped_side = side_fn_raw
+            wrapped_fork = fork_fn_raw
+
+        if settings.side_position_prob > 0.0:
+            from katacoffee_tpu.selfplay import init_side_state
+
+            side_state = init_side_state(cfg, settings.side_position_capacity)
+            side_fn = jax.jit(wrapped_side)
+        if use_game_forks:
+            fork_fn = jax.jit(wrapped_fork)
 
     def flush_pending():
         nonlocal pending_trajs, total_rows, games_done, fork_pool
@@ -388,9 +423,14 @@ def run_selfplay_daemon(
 
 def main(argv, **kw):
     """Entry for `katacoffee selfplay` (cli.py plumbs the config)."""
+    from katacoffee_tpu.parallel import init_distributed
     from katacoffee_tpu.utils import ConfigParser
 
     import argparse
+
+    # multi-host DCN: no-op unless JAX_COORDINATOR_ADDRESS etc. are set
+    # (tools/launch_2host.sh); the daemon's mesh then spans all hosts' chips
+    init_distributed()
 
     ap = argparse.ArgumentParser(prog="katacoffee selfplay")
     ap.add_argument("-output-dir", required=True)

@@ -19,6 +19,7 @@ from katacoffee_tpu.parallel.mesh import (
     init_distributed,
     make_data_mesh,
     shard_leading_axis,
+    shard_map_batched,
     replicate,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "init_distributed",
     "make_data_mesh",
     "shard_leading_axis",
+    "shard_map_batched",
     "replicate",
 ]

@@ -55,6 +55,75 @@ def shard_leading_axis(mesh: Mesh, tree):
     return jax.tree_util.tree_map(place, tree)
 
 
+def shard_map_batched(mesh: Mesh, fn, batch_size: int | tuple[int, ...],
+                      rng_arg_index: int | None = None):
+    """Wrap a batched selfplay/search step in `shard_map` over 'data'.
+
+    The GSPMD partitioner handles our while_loop-heavy search poorly: loop
+    carries get resharded every iteration (hundreds of all-gathers; measured
+    0.4x per-device retention on the virtual mesh). Manual SPMD runs the
+    whole step per shard with NO inserted collectives, and each shard's
+    lockstep while_loops gate on the local max visit deficit rather than
+    the global one — strictly less padding work.
+
+    Sharding rule per leaf: the first axis whose size is in `batch_size`
+    (an int or a tuple — pass side/fork pool capacities too, since their
+    per-shard updates diverge and must not be treated as replicated) is
+    sharded over 'data'; other leaves (rng keys) are replicated on the way
+    in and taken from the local shard on the way out (check_rep=False).
+    When `rng_arg_index` is given, that (replicated) key argument is folded
+    with the shard index inside the region so shards are decorrelated.
+    """
+    from jax.sharding import PartitionSpec
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    sizes = (batch_size,) if isinstance(batch_size, int) else tuple(batch_size)
+
+    def spec_for(x) -> PartitionSpec:
+        shape = getattr(x, "shape", ())
+        for i, s in enumerate(shape):
+            if s in sizes:
+                return PartitionSpec(*([None] * i + ["data"]))
+        return PartitionSpec()
+
+    def wrapped(*args):
+        in_specs = jax.tree_util.tree_map(spec_for, args)
+        out_shape = jax.eval_shape(fn, *args)
+        out_specs = jax.tree_util.tree_map(spec_for, out_shape)
+
+        def local_fn(*local_args):
+            if rng_arg_index is not None:
+                local_args = list(local_args)
+                local_args[rng_arg_index] = jax.random.fold_in(
+                    local_args[rng_arg_index], jax.lax.axis_index("data")
+                )
+            return fn(*local_args)
+
+        try:  # jax >= 0.8 renamed check_rep -> check_vma
+            sm = shard_map(
+                local_fn, mesh=mesh,
+                in_specs=in_specs, out_specs=out_specs, check_vma=False,
+            )
+        except TypeError:  # pragma: no cover
+            sm = shard_map(
+                local_fn, mesh=mesh,
+                in_specs=in_specs, out_specs=out_specs, check_rep=False,
+            )
+        return sm(*args)
+
+    return wrapped
+
+
+def fold_rng_by_shard(rng, mesh: Mesh):
+    """Per-shard decorrelated key: fold the data-axis index into the key.
+    Must be called INSIDE a shard_map region."""
+    return jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree across the mesh (parameters, optimizer state)."""
     sharding = NamedSharding(mesh, P())
