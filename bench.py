@@ -9,10 +9,10 @@ a 600-visit root, the quantity `katago benchmark` calls visits/s
 (cpp/command/benchmark.cpp:894-896); tree reuse makes delivered visits
 cheaper than playouts exactly as it does in the reference.
 
-The reference publishes no Coffee numbers (BASELINE.md). `vs_baseline` is
-computed against 20,000 visits/s — a generous estimate of the repaired C++
-reference with b6c96 on one strong GPU host at this operating point (KataGo
-b6c96-class throughput); revise when a measured reference baseline exists.
+`vs_baseline` divides by the MEASURED reference baseline: 992.2 visits/s
+from the repaired reference's own `katago benchmark` (Eigen backend, best
+thread count, 600 visits, b6c96, this host — BASELINE.md "Measured
+baseline", repairs in refbuild_patches/reference_repairs.patch).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -28,7 +28,7 @@ os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-REFERENCE_VISITS_PER_SEC_ESTIMATE = 20_000.0
+REFERENCE_VISITS_PER_SEC_MEASURED = 992.2  # BASELINE.json "measured"
 
 
 def main():
@@ -79,7 +79,7 @@ def main():
                 "metric": "selfplay_delivered_visits_per_sec_b6c96_600visits",
                 "value": round(visits_per_sec, 1),
                 "unit": "visits/s",
-                "vs_baseline": round(visits_per_sec / REFERENCE_VISITS_PER_SEC_ESTIMATE, 3),
+                "vs_baseline": round(visits_per_sec / REFERENCE_VISITS_PER_SEC_MEASURED, 3),
             }
         )
     )
