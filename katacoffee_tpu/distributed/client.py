@@ -31,12 +31,19 @@ from katacoffee_tpu.utils import Logger
 
 class ContributeClient:
     def __init__(self, server_url: str, cache_dir: str, logger: Logger | None = None,
-                 seed: int = 0, max_retries: int = 5):
+                 seed: int = 0, max_retries: int = 5, cafile: str | None = None):
         self.url = server_url.rstrip("/")
         self.cache_dir = cache_dir
         self.logger = logger or Logger(log_to_stdout=True)
         self.rng = jax.random.PRNGKey(seed)
         self.max_retries = max_retries
+        # HTTPS: system CA bundle by default (the reference ships mozilla's,
+        # contribute.cpp); `cafile` pins a self-hosted server's certificate
+        self._ssl_ctx = None
+        if self.url.startswith("https"):
+            import ssl
+
+            self._ssl_ctx = ssl.create_default_context(cafile=cafile)
         os.makedirs(cache_dir, exist_ok=True)
 
     # -- HTTP with retry/backoff (contribute.cpp:1063 throttling role) --
@@ -46,7 +53,7 @@ class ContributeClient:
         for attempt in range(self.max_retries):
             try:
                 req = urllib.request.Request(self.url + path, data=data)
-                with urllib.request.urlopen(req, timeout=60) as r:
+                with urllib.request.urlopen(req, timeout=60, context=self._ssl_ctx) as r:
                     return r.read()
             except (urllib.error.URLError, OSError, TimeoutError) as e:
                 last = e
@@ -187,8 +194,11 @@ def main(argv, **kw):
     ap.add_argument("-cache-dir", default=os.path.expanduser("~/.cache/katacoffee_tpu/models"))
     ap.add_argument("-max-cycles", type=int, default=None)
     ap.add_argument("-seed", type=int, default=0)
+    ap.add_argument("-cafile", default=None, help="CA bundle pinning a self-hosted HTTPS server")
     args = ap.parse_args(argv)
-    ContributeClient(args.server, args.cache_dir, seed=args.seed).run(args.max_cycles)
+    ContributeClient(
+        args.server, args.cache_dir, seed=args.seed, cafile=args.cafile
+    ).run(args.max_cycles)
 
 
 def main_serve(argv, **kw):
@@ -204,12 +214,19 @@ def main_serve(argv, **kw):
                     help="fraction of tasks that are model-vs-model rating matches")
     ap.add_argument("-rating-visits", type=int, default=150)
     ap.add_argument("-rating-games", type=int, default=8)
+    ap.add_argument("-certfile", default=None, help="serve HTTPS with this certificate")
+    ap.add_argument("-keyfile", default=None)
+    ap.add_argument("-selfplay-visits", type=int, default=600)
+    ap.add_argument("-parallel-games", type=int, default=64)
     args = ap.parse_args(argv)
     cfg = GameConfig(5, 5, 4)
     server = ContributionServer(
         args.base_dir, cfg, host=args.host, port=args.port,
+        selfplay_config={"maxVisits": args.selfplay_visits,
+                         "numParallelGames": args.parallel_games},
         rating_game_prob=args.rating_game_prob,
         rating_config={"maxVisits": args.rating_visits, "numRatingGames": args.rating_games},
+        certfile=args.certfile, keyfile=args.keyfile,
     )
     print(f"serving contribution bus for {args.base_dir} at {server.url}")
     server.serve_forever()

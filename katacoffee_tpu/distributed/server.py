@@ -39,7 +39,8 @@ class ContributionServer:
     def __init__(self, base_dir: str, cfg, host: str = "127.0.0.1", port: int = 0,
                  selfplay_config: dict | None = None, run_name: str = "run",
                  rating_game_prob: float = 0.0, rating_config: dict | None = None,
-                 rating_seed: int | None = None):
+                 rating_seed: int | None = None,
+                 certfile: str | None = None, keyfile: str | None = None):
         self.base_dir = base_dir
         self.cfg = cfg
         self.run_name = run_name
@@ -138,6 +139,16 @@ class ContributionServer:
                 self._json(404, {"error": "unknown endpoint"})
 
         self._server = ThreadingHTTPServer((host, port), Handler)
+        # HTTPS (the reference bus is HTTPS-only, distributed/client.cpp +
+        # mozilla CA bundle); pass a cert/key pair to serve TLS directly, or
+        # terminate TLS at a reverse proxy in front of the plain server
+        self.tls = certfile is not None
+        if self.tls:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile, keyfile)
+            self._server.socket = ctx.wrap_socket(self._server.socket, server_side=True)
         self.host, self.port = self._server.server_address[:2]
         self._thread: threading.Thread | None = None
 
@@ -177,7 +188,7 @@ class ContributionServer:
 
     @property
     def url(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        return f"http{'s' if self.tls else ''}://{self.host}:{self.port}"
 
     def start(self):
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)

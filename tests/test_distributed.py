@@ -72,6 +72,34 @@ class TestBus:
         sgfs = os.listdir(os.path.join(base, "selfplay", "random", "sgfs"))
         assert sgfs
 
+    def test_https_round_trip(self, tmp_path):
+        """TLS bus: self-signed server cert + client pinning via cafile —
+        the reference's HTTPS-only volunteer protocol (distributed/client.cpp
+        + mozilla CA bundle)."""
+        import subprocess
+
+        cert = str(tmp_path / "server.pem")
+        key = str(tmp_path / "server.key")
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", key, "-out", cert, "-days", "1",
+             "-subj", "/CN=127.0.0.1",
+             "-addext", "subjectAltName=IP:127.0.0.1"],
+            check=True, capture_output=True,
+        )
+        base = str(tmp_path / "server_dir")
+        os.makedirs(os.path.join(base, "models"), exist_ok=True)
+        srv = ContributionServer(base, CFG, certfile=cert, keyfile=key).start()
+        try:
+            assert srv.url.startswith("https://")
+            client = ContributeClient(
+                srv.url, str(tmp_path / "cache"), logger=Logger(), seed=0, cafile=cert
+            )
+            task = client.get_task()
+            assert task["modelName"] == "random"
+        finally:
+            srv.stop()
+
     def test_rating_games_round_trip(self, tmp_path):
         """Server assigns a rating task, client plays the batched match and
         uploads SGFs, the Elo summarizer consumes them — the reference's
