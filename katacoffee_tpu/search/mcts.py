@@ -2081,13 +2081,96 @@ def root_values(tree: Tree):
     }
 
 
-def _child_utility_stdev(tree: Tree):
+def _root_explore_scaling(sp: SearchParams, tree: Tree, cs) -> jax.Array:
+    """Root exploreScaling = cPUCT(W)·√(W+0.01)·parentUtilityStdevFactor
+    (searchexplorehelpers.cpp:9-25,262-285) — the same quantities
+    _select_action computes during descent, exposed for play-selection
+    post-processing (getReducedPlaySelectionWeight)."""
+    B = tree.children.shape[0]
+    bidx = jnp.arange(B)
+    node = jnp.zeros((B,), jnp.int32)
+    total_child_w = cs["w"].sum(-1)
+    cpuct = sp.cpuctExploration + sp.cpuctExplorationLog * jnp.log(
+        (total_child_w + sp.cpuctExplorationBase) / sp.cpuctExplorationBase
+    )
+    if sp.cpuctUtilityStdevScale != 0.0:
+        node_stats = tree.stats[bidx, node]
+        w_sum = node_stats[:, S_W]
+        u = node_stats[:, S_U]
+        usq = jnp.maximum(node_stats[:, S_USQ], u * u)
+        var_prior = sp.cpuctUtilityStdevPrior**2
+        pw = sp.cpuctUtilityStdevPriorWeight
+        stdev = jnp.sqrt(
+            jnp.maximum(
+                0.0,
+                ((u * u + var_prior) * pw + usq * w_sum) / (pw + jnp.maximum(w_sum - 1.0, _EPS))
+                - u * u,
+            )
+        )
+        stdev = jnp.where(w_sum <= 1.0, sp.cpuctUtilityStdevPrior, stdev)
+        stdev_factor = 1.0 + sp.cpuctUtilityStdevScale * (
+            stdev / sp.cpuctUtilityStdevPrior - 1.0
+        )
+    else:
+        stdev_factor = jnp.ones((B,), jnp.float32)
+    return cpuct * jnp.sqrt(total_child_w + 0.01) * stdev_factor
+
+
+def root_play_selection_weights(sp: SearchParams, tree: Tree, cs=None) -> jax.Array:
+    """Root play-selection values [B, A]: edge-scaled child weights with the
+    reference's retrospective over-visited reduction
+    (getPlaySelectionValues, searchresults.cpp:110-186 +
+    getReducedPlaySelectionWeight, searchexplorehelpers.cpp:209-242).
+
+    The goodness-best child (weight discounted by one visit + 2·policy) is
+    kept; every other child is capped at the weight that the best child's
+    final explore-selection value retrospectively implies:
+    w_wanted = exploreScaling·P / (bestSelectionValue − u) − 1. This removes
+    forced-playout and noise-driven excess weight from both move selection
+    and training policy targets, exactly as the reference does."""
+    B = tree.children.shape[0]
+    A = tree.children.shape[-1]
+    bidx = jnp.arange(B)
+    if cs is None:
+        cs = _child_edge_stats(tree, bidx, jnp.zeros((B,), jnp.int32))
+    w = cs["w"]
+    u = cs["u"]  # parent (mover) perspective
+    evis = cs["evis"]
+    live = cs["live"] & (w > 0)
+    legal_prior = jnp.maximum(tree.root_prior, 0.0)
+
+    # goodness-picked nonLCB best child (searchresults.cpp:115-133)
+    g = w * jnp.maximum(evis - 1.0, 0.0) / jnp.maximum(evis, 1.0) + 2.0 * legal_prior
+    g = jnp.where(live, g, -jnp.inf)
+    best = jnp.argmax(g, -1)
+    onehot_best = jax.nn.one_hot(best, A, dtype=bool)
+    any_live = live.any(-1)
+
+    scaling = _root_explore_scaling(sp, tree, cs)
+    take = lambda x: jnp.take_along_axis(x, best[:, None], axis=-1)
+    best_sel = (scaling[:, None] * take(legal_prior) / (1.0 + take(w)) + take(u))
+
+    # getExploreSelectionValueInverse (searchexplorehelpers.cpp:47-69)
+    denom = best_sel - u
+    wanted = jnp.where(
+        denom > 0,
+        scaling[:, None] * legal_prior / jnp.maximum(denom, _EPS) - 1.0,
+        jnp.inf,
+    )
+    wanted = jnp.maximum(wanted, 0.0)
+    reduced = jnp.ceil(jnp.minimum(w, wanted))  # the reference ceil()s reduced weights
+    out = jnp.where(onehot_best | ~any_live[:, None], w, reduced)
+    return jnp.where(live, out, 0.0)
+
+
+def _child_utility_stdev(tree: Tree, cs=None):
     """Per-root-child utility stdev for LCB (searchresults.cpp
     getSelfUtilityLCBAndRadius semantics, simplified to weight-based
     precision)."""
     B = tree.children.shape[0]
     bidx = jnp.arange(B)
-    cs = _child_edge_stats(tree, bidx, jnp.zeros((B,), jnp.int32))
+    if cs is None:
+        cs = _child_edge_stats(tree, bidx, jnp.zeros((B,), jnp.int32))
     u = cs["u"]
     var = jnp.maximum(cs["usq"] - u * u, 1e-8)
     # effective sample size from weight distribution
@@ -2112,8 +2195,11 @@ def select_moves(
     actions."""
     B = tree.children.shape[0]
     A = tree.children.shape[-1]
-    visits = root_visit_counts(tree).astype(jnp.float32)  # [B, A]
     legal = tree.root_prior >= 0
+    cs = _child_edge_stats(tree, jnp.arange(B), jnp.zeros((B,), jnp.int32))
+    # base play-selection values: child weights with the reference's
+    # retrospective over-visited reduction
+    w_base = root_play_selection_weights(sp, tree, cs)
 
     if sp.useLcbForSelection:
         # Reference weight-blend (getPlaySelectionValues,
@@ -2124,7 +2210,8 @@ def select_moves(
         # the adjusted weights. Deviations (documented): eligibility compares
         # against the max child weight rather than the goodness-picked
         # nonLCB-best child, and no over-visited weight reduction.
-        u, stdev, w = _child_utility_stdev(tree)
+        u, stdev, _raw_w = _child_utility_stdev(tree, cs)
+        w = w_base
         radius = sp.lcbStdevs * stdev
         lcb = u - radius
         max_w = w.max(-1, keepdims=True)
@@ -2145,7 +2232,7 @@ def select_moves(
         )
         w_sel = jnp.where(onehot_best & any_elig[:, None], boosted, w)
     else:
-        w_sel = root_child_weights(tree)
+        w_sel = w_base
 
     # temperature choice (chooseIndexWithTemperature)
     if turn_number is None:
@@ -2178,20 +2265,11 @@ def select_moves(
 
 
 def policy_target(tree: Tree, sp: SearchParams) -> jax.Array:
-    """Training policy target from root edge visits with forced-playout
-    pruning (extractPolicyTarget → getPlaySelectionValues, play.cpp:635:
-    the reference subtracts the forced-playout floor from every non-best
-    child and prunes tiny remainders)."""
-    v = root_visit_counts(tree).astype(jnp.float32)
-    if sp.rootDesiredPerChildVisitsCoeff > 0.0:
-        prior = jnp.maximum(tree.root_prior, 0.0)
-        total = v.sum(-1, keepdims=True)
-        forced = jnp.sqrt(sp.rootDesiredPerChildVisitsCoeff * prior * total)
-        # keep the best child untouched; subtract forced playouts elsewhere
-        best = jnp.argmax(v, -1, keepdims=True)
-        is_best = jnp.arange(v.shape[-1])[None, :] == best
-        v = jnp.where(is_best, v, jnp.maximum(v - forced, 0.0))
-        # moves reduced to <1 visit are pruned entirely
-        v = jnp.where(is_best | (v >= 1.0), v, 0.0)
+    """Training policy target (extractPolicyTarget → getPlaySelectionValues,
+    play.cpp:635): the reference's play-selection weights, whose
+    retrospective over-visited reduction (getReducedPlaySelectionWeight)
+    removes the excess weight that root forced playouts and Dirichlet noise
+    drove into non-best children."""
+    v = root_play_selection_weights(sp, tree)
     total = v.sum(-1, keepdims=True)
     return jnp.where(total > 0, v / jnp.maximum(total, _EPS), 0.0)

@@ -247,15 +247,18 @@ class TestTactics:
 
 
 def lcb_oracle_choice(tree, sp, game=0):
-    """Scalar port of the reference's LCB play-selection blend
-    (searchresults.cpp:188-233 under useNonBuggyLcb, then argmax at temp 0):
-    independent loops over raw tree arrays, reference edge-scaling
-    childWeight = weightSum * edgeVisits / childVisits (searchnode.h:59-64)."""
+    """Scalar port of the reference's play-selection pipeline
+    (searchresults.cpp:110-233: base child weights, goodness-best pick,
+    getReducedPlaySelectionWeight over-visited reduction, LCB weight-blend
+    under useNonBuggyLcb, then argmax at temp 0): independent loops over raw
+    tree arrays, reference edge-scaling childWeight = weightSum *
+    edgeVisits / childVisits (searchnode.h:59-64)."""
     import math
 
     children = np.asarray(tree.children[game, 0])
     evis = np.asarray(tree.edge_visits[game, 0]).astype(float)
     stats = np.asarray(tree.stats[game])
+    prior = np.maximum(np.asarray(tree.root_prior[game]).astype(float), 0.0)
     A = children.shape[0]
     w = np.zeros(A)
     u = np.zeros(A)
@@ -274,6 +277,42 @@ def lcb_oracle_choice(tree, sp, game=0):
         ess = w[i] ** 2 / wsq if wsq > 0 else 1.0
         radius[i] = sp.lcbStdevs * math.sqrt(var / max(ess, 1.0))
         lcb[i] = u[i] - radius[i]
+
+    # --- over-visited reduction (searchexplorehelpers.cpp:209-242) ---
+    W = w.sum()
+    cpuct = sp.cpuctExploration + sp.cpuctExplorationLog * math.log(
+        (W + sp.cpuctExplorationBase) / sp.cpuctExplorationBase
+    )
+    if sp.cpuctUtilityStdevScale != 0.0:
+        rw, ru, rusq = float(stats[0, 1]), float(stats[0, 3]), float(stats[0, 4])
+        rusq = max(rusq, ru * ru)
+        var_prior = sp.cpuctUtilityStdevPrior**2
+        pw = sp.cpuctUtilityStdevPriorWeight
+        if rw <= 1.0:
+            stdev = sp.cpuctUtilityStdevPrior
+        else:
+            stdev = math.sqrt(max(0.0, ((ru * ru + var_prior) * pw + rusq * rw)
+                                  / (pw + max(rw - 1.0, 1e-8)) - ru * ru))
+        stdev_factor = 1.0 + sp.cpuctUtilityStdevScale * (stdev / sp.cpuctUtilityStdevPrior - 1.0)
+    else:
+        stdev_factor = 1.0
+    scaling = cpuct * math.sqrt(W + 0.01) * stdev_factor
+    goodness = [
+        (w[i] * max(evis[i] - 1.0, 0.0) / max(evis[i], 1.0) + 2.0 * prior[i])
+        if w[i] > 0 else -1e30
+        for i in range(A)
+    ]
+    gbest = int(np.argmax(goodness))
+    if w[gbest] > 0:
+        best_sel = scaling * prior[gbest] / (1.0 + w[gbest]) + u[gbest]
+        for i in range(A):
+            if i == gbest or w[i] <= 0:
+                continue
+            denom = best_sel - u[i]
+            wanted = 1e100 if denom <= 0 else max(
+                scaling * prior[i] / max(denom, 1e-8) - 1.0, 0.0
+            )
+            w[i] = math.ceil(min(w[i], wanted))
     max_w = w.max()
     best_lcb, best_idx = -1e30, -1
     for i in range(A):
