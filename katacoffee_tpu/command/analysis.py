@@ -166,7 +166,12 @@ class AnalysisEngine:
         moves = query.get("moves", [])
         initial_stones = query.get("initialStones", [])
         initial_player = query.get("initialPlayer")
-        max_visits = int(query.get("maxVisits", self.default_visits))
+        # maxVisits may come top-level or via overrideSettings (the form the
+        # reference's own analysis test queries use, tests/analysis/basic.txt)
+        override = query.get("overrideSettings", {}) or {}
+        max_visits = int(
+            override.get("maxVisits", query.get("maxVisits", self.default_visits))
+        )
         analyze_turns = query.get("analyzeTurns", [len(moves)])
 
         # build the position before each requested turn
