@@ -92,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
             def factory(cfg, _m=model, _p=params):
                 return make_nn_eval_fn(cfg, _m, _p)
 
+            from katacoffee_tpu.search import make_raw_forward_fn
+
+            def raw_factory(cfg, _m=model, _p=params):
+                return make_raw_forward_fn(cfg, _m, _p)
+
+            m(args, eval_fn_factory=factory, raw_forward_factory=raw_factory)
+            return 0
         m(args, eval_fn_factory=factory)
         return 0
     if cmd == "selfplay":

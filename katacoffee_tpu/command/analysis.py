@@ -58,15 +58,30 @@ class AnalysisEngine:
         eval_fn_factory=None,
         default_visits: int = 100,
         logger=None,
+        raw_forward_factory=None,
     ):
-        """`eval_fn_factory(cfg) -> EvalFn` (None = uniform priors)."""
+        """`eval_fn_factory(cfg) -> EvalFn` (None = uniform priors).
+        `raw_forward_factory(cfg) -> (states -> model head dict)` enables
+        includeOwnership output (None = ownership omitted, as with
+        debugSkipNeuralNet in the reference)."""
         self.sp = search_params
         self.factory = eval_fn_factory or mcts.uniform_eval_fn
+        self.raw_forward_factory = raw_forward_factory
         self.default_visits = default_visits
         self.logger = logger
         self._search_cache: dict[tuple, callable] = {}
         self._eval_cache: dict[GameConfig, mcts.EvalFn] = {}
+        self._raw_cache: dict[GameConfig, callable] = {}
         self._rng = jax.random.PRNGKey(0)
+
+    def _raw_forward(self, cfg: GameConfig):
+        if self.raw_forward_factory is None:
+            return None
+        fn = self._raw_cache.get(cfg)
+        if fn is None:
+            fn = self.raw_forward_factory(cfg)
+            self._raw_cache[cfg] = fn
+        return fn
 
     def _next_key(self):
         self._rng, k = jax.random.split(self._rng)
@@ -327,6 +342,14 @@ class AnalysisEngine:
         }
         if query.get("includePolicy"):
             result["policy"] = [float(max(p, -1.0)) for p in prior]
+        if query.get("includeOwnership"):
+            raw = self._raw_forward(cfg)
+            if raw is not None:
+                # root-position net ownership, mover perspective, row-major
+                # like the reference's ownership array (tanh of the head)
+                heads = raw(jax.tree_util.tree_map(lambda x: x[None], state))
+                own = np.tanh(np.asarray(heads["ownership"][0]))
+                result["ownership"] = [float(v) for v in own.reshape(-1)]
         return result
 
     # ------------------------------------------------------------------

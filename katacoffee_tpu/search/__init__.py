@@ -11,5 +11,6 @@ from katacoffee_tpu.search.mcts import (
     select_moves,
     uniform_eval_fn,
     make_nn_eval_fn,
+    make_raw_forward_fn,
 )
 from katacoffee_tpu.search.timecontrols import TimeControls, visits_for_time

@@ -236,6 +236,20 @@ def uniform_eval_fn(cfg: GameConfig) -> EvalFn:
     return fn
 
 
+def make_raw_forward_fn(cfg: GameConfig, model, params):
+    """Jitted full forward over a batch of GameStates, returning every model
+    head (ownership, futurepos, line logits, …) — the analysis engine's
+    includeOwnership / kata-raw-nn source. The search EvalFn deliberately
+    drops the aux heads (computing them every eval would waste HBM
+    bandwidth); this separate path serves the protocol surfaces."""
+
+    def fn(states: GameState):
+        spatial, glob = jax.vmap(functools.partial(extract_features, cfg))(states)
+        return model.apply(params, spatial, glob)
+
+    return jax.jit(fn)
+
+
 def make_nn_eval_fn(
     cfg: GameConfig,
     model,

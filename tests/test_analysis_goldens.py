@@ -60,3 +60,36 @@ def test_avoid_allow_respected():
     # 0*25 + 2*5 + 2 = 12) keeps a positive root prior
     a2 = by_id["a2"]
     assert a2["policy"][12] > 0.0
+
+
+def test_include_ownership_with_model():
+    """includeOwnership emits the net's root ownership map (mover
+    perspective, tanh in [-1,1]) when a model is attached — the analysis
+    protocol's ownership field (Analysis_Engine.md; reference averages over
+    the tree, we report the root net's map, documented)."""
+    import jax
+
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.nn.configs import get_model_spec
+    from katacoffee_tpu.nn.model import CoffeeNet, init_params
+    from katacoffee_tpu.search import make_nn_eval_fn, make_raw_forward_fn
+
+    CFG = GameConfig(5, 5, 4)
+    model = CoffeeNet(get_model_spec("b1c6"), win_len=4)
+    params = init_params(model, CFG, jax.random.PRNGKey(0))
+    eng = AnalysisEngine(
+        SearchParams(valueWeightExponent=0.0),
+        eval_fn_factory=lambda cfg: make_nn_eval_fn(cfg, model, params),
+        raw_forward_factory=lambda cfg: make_raw_forward_fn(cfg, model, params),
+        default_visits=8,
+    )
+    res = eng.handle_query(
+        {"id": "o", "moves": [["B", "C3 N"]], "maxVisits": 8, "includeOwnership": True}
+    )
+    own = res[0]["ownership"]
+    assert len(own) == 25
+    assert all(-1.0 <= v <= 1.0 for v in own)
+    # without a raw factory the field is simply omitted
+    eng2 = AnalysisEngine(SearchParams(valueWeightExponent=0.0), default_visits=8)
+    res2 = eng2.handle_query({"id": "o", "maxVisits": 8, "includeOwnership": True})
+    assert "ownership" not in res2[0]
