@@ -134,13 +134,30 @@ class GTPEngine:
 
     # ------------------------------------------------------------------
 
+    def _lag_buffer(self) -> float:
+        """Configured lagBuffer (searchparams.h:151 role) or the default
+        safety margin when unset."""
+        return self.sp.lagBuffer if self.sp.lagBuffer > 0 else 0.2
+
+    def _visit_budget(self, pla: int) -> int:
+        """Clock -> shaped time budget -> visit target for this move, or
+        max_visits under no time pressure (the recomputeSearchTimeLimit ->
+        visit-cap adapter, shared by genmove and genmove_analyze)."""
+        budget = self.time_controls[pla].time_for_move(lag_buffer=self._lag_buffer())
+        vps = self.engine.visits_per_second
+        if budget == float("inf") or vps is None:
+            return self.max_visits
+        turn = len(self.engine.move_history)
+        shaped = shaped_time_budget(self.sp, budget, turn, self.cfg.area)
+        return visits_for_time(shaped, vps, self.max_visits)
+
     def _genmove(self, pla: int, debug: bool = False, play: bool = True) -> str:
         if pla != self.engine.to_move:
             raise IllegalMoveError("genmove for the player not to move")
         if self.engine.game_over:
             return "resign"  # no legal moves for us (game already decided)
         tc = self.time_controls[pla]
-        budget = tc.time_for_move()
+        budget = tc.time_for_move(lag_buffer=self._lag_buffer())
         vps = self.engine.visits_per_second
         t0 = time.monotonic()
         if budget == float("inf") or vps is None:
@@ -248,15 +265,34 @@ class GTPEngine:
         response itself. With `genmove`, finishes by choosing + playing a
         move (lz/kata-genmove_analyze)."""
         pla = spec["pla"]
+        flipped_from = None
         if pla != self.engine.to_move and not genmove:
             # analyze from the other player's perspective (reference supports
-            # this by re-rooting with the requested player to move)
+            # this by re-rooting with the requested player to move); restored
+            # after the analysis so the game state is untouched
+            flipped_from = self.engine.to_move
             self.engine.set_to_move(pla)
+        try:
+            return self._run_analyze_inner(spec, genmove)
+        finally:
+            if flipped_from is not None:
+                self.engine.set_to_move(flipped_from)
+
+    def _run_analyze_inner(self, spec: dict, genmove: bool) -> str:
+        pla = spec["pla"]
         interval = spec["interval"]
+        # genmove_analyze obeys the clock exactly like genmove
+        visits = self._visit_budget(pla) if genmove else self.max_visits
         infile, outfile = self._io if self._io is not None else (None, None)
         if interval is None or outfile is None:
             if genmove:
-                action, result = self.engine.genmove(self.max_visits, play=True)
+                t0 = time.monotonic()
+                action, result = self.engine.genmove(
+                    visits, play=True, avoid=spec["avoid"]
+                )
+                dt = time.monotonic() - t0
+                self.cpu_time += dt
+                self.time_controls[pla].update_after_move(dt)
                 return self._analyze_line(result) + f"\nplay {gio.action_to_compact(action, self.cfg)}"
             result = self.engine.analyze(self.max_visits, avoid=spec["avoid"])
             return self._analyze_line(result)
@@ -290,10 +326,14 @@ class GTPEngine:
             outfile.flush()
 
         if genmove:
+            t0 = time.monotonic()
             action, result = self.engine.genmove_stream(
-                self.max_visits, chunk, stop_check=stop_check,
+                visits, chunk, stop_check=stop_check,
                 avoid=spec["avoid"], play=True, on_report=report,
             )
+            dt = time.monotonic() - t0
+            self.cpu_time += dt
+            self.time_controls[pla].update_after_move(dt)
             outfile.write(f"play {gio.action_to_compact(action, self.cfg)}\n")
         else:
             tree = None
@@ -453,7 +493,10 @@ class GTPEngine:
                 elif stones == 0:
                     self.time_controls[pla] = TimeControls()  # no time limits
                 else:
-                    self.time_controls[pla] = TimeControls.byo_yomi(main, byo / max(stones, 1), stones)
+                    # standard GTP time_settings is Canadian overtime
+                    self.time_controls[pla] = TimeControls.byo_yomi(
+                        main, byo / max(stones, 1), stones, per_stone=True
+                    )
         elif cmd == "kgs-time_settings":
             system = args[0]
             if system == "none":
@@ -463,7 +506,10 @@ class GTPEngine:
             elif system == "byoyomi":
                 tc = TimeControls.byo_yomi(float(args[1]), float(args[2]), int(args[3]))
             elif system == "canadian":
-                tc = TimeControls.byo_yomi(float(args[1]), float(args[2]) / max(int(args[3]), 1), int(args[3]))
+                tc = TimeControls.byo_yomi(
+                    float(args[1]), float(args[2]) / max(int(args[3]), 1),
+                    int(args[3]), per_stone=True,
+                )
             else:
                 raise ValueError(f"unknown time system {system}")
             for pla in (1, 2):
@@ -484,15 +530,22 @@ class GTPEngine:
                 self.time_controls[pla] = dataclasses.replace(tc)
         elif cmd == "time_left":
             # GTP: time_left <color> <time> <stones>; stones > 0 means the
-            # player is in overtime with that many periods/stones remaining
+            # player is in overtime. Canadian (per_stone) reports the time
+            # remaining for ALL the stones; Japanese byo-yomi reports the
+            # per-period time with `stones` periods left.
             pla = _parse_player(args[0])
             tc = self.time_controls[pla]
             stones = int(args[2]) if len(args) > 2 else 0
+            t = max(float(args[1]), 0.0)
             if stones > 0 and tc.system == "byo_yomi":
                 tc.main_time_left = 0.0
                 tc.in_overtime = True
                 tc.periods_left = stones
-                tc.period_time = max(float(args[1]), 0.0) if tc.period_time == 0 else tc.period_time
+                if tc.per_stone:
+                    # Canadian: t covers all remaining stones of the block
+                    tc.period_time = t / stones
+                elif tc.period_time == 0:
+                    tc.period_time = t
             else:
                 tc.main_time_left = float(args[1])
         elif cmd == "kata-debug-print-tc":
@@ -565,7 +618,10 @@ class GTPEngine:
         infile = infile or sys.stdin
         outfile = outfile or sys.stdout
         self._io = (infile, outfile)
-        for line in infile:
+        # read one line at a time (no iterator read-ahead): the streaming
+        # analyze's select()-based interrupt check must see commands that
+        # arrive while an analysis is running
+        for line in iter(infile.readline, ""):
             result = self.handle(line)
             if result == "":
                 continue

@@ -282,9 +282,13 @@ def run_selfplay_daemon(
                 settings.side_position_capacity,
                 settings.fork_pool_capacity,
             )
-            segment_fn = jax.jit(shard_map_batched(mesh, seg_fn, sizes, rng_arg_index=2))
-            wrapped_side = shard_map_batched(mesh, side_fn_raw, sizes, rng_arg_index=2)
-            wrapped_fork = shard_map_batched(mesh, fork_fn_raw, sizes, rng_arg_index=4)
+            tsizes = (spc.moves_per_segment,)
+            segment_fn = jax.jit(shard_map_batched(
+                mesh, seg_fn, sizes, rng_arg_index=2, time_axis_sizes=tsizes))
+            wrapped_side = shard_map_batched(
+                mesh, side_fn_raw, sizes, rng_arg_index=2, time_axis_sizes=tsizes)
+            wrapped_fork = shard_map_batched(
+                mesh, fork_fn_raw, sizes, rng_arg_index=4, time_axis_sizes=tsizes)
         else:
             segment_fn = jax.jit(seg_fn)
             wrapped_side = side_fn_raw

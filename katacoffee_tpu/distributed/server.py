@@ -172,7 +172,12 @@ class ContributionServer:
             return None
         if len(names) < 2:
             return None
-        latest = os.path.basename(find_latest_model(models_dir) or names[-1])
+        # pick latest among COMPLETE models only (an export writes model.npz
+        # before model.json; find_latest_model could name the half-written
+        # dir and crash the volunteer's download)
+        latest = max(
+            names, key=lambda n: os.path.getmtime(os.path.join(models_dir, n, "model.npz"))
+        )
         other = self._rating_rng.choice([n for n in names if n != latest])
         black, white = (latest, other) if self._rating_rng.random() < 0.5 else (other, latest)
         return {

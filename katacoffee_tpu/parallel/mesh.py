@@ -56,7 +56,8 @@ def shard_leading_axis(mesh: Mesh, tree):
 
 
 def shard_map_batched(mesh: Mesh, fn, batch_size: int | tuple[int, ...],
-                      rng_arg_index: int | None = None):
+                      rng_arg_index: int | None = None,
+                      time_axis_sizes: tuple[int, ...] = ()):
     """Wrap a batched selfplay/search step in `shard_map` over 'data'.
 
     The GSPMD partitioner handles our while_loop-heavy search poorly: loop
@@ -73,6 +74,13 @@ def shard_map_batched(mesh: Mesh, fn, batch_size: int | tuple[int, ...],
     in and taken from the local shard on the way out (check_rep=False).
     When `rng_arg_index` is given, that (replicated) key argument is folded
     with the shard index inside the region so shards are decorrelated.
+
+    `time_axis_sizes` disambiguates size collisions: trajectory leaves are
+    [T, B, ...], so when T happens to equal a batch/pool size (e.g.
+    movesPerSegment == forkPoolCapacity == 64) axis 0 must NOT be sharded —
+    any leading axis whose size is in `time_axis_sizes` is skipped when a
+    later axis also matches a batch size. A shape assertion after spec
+    construction catches any collision this rule cannot resolve.
     """
     from jax.sharding import PartitionSpec
 
@@ -82,16 +90,38 @@ def shard_map_batched(mesh: Mesh, fn, batch_size: int | tuple[int, ...],
         from jax.experimental.shard_map import shard_map
 
     sizes = (batch_size,) if isinstance(batch_size, int) else tuple(batch_size)
+    tsizes = tuple(time_axis_sizes)
 
     def spec_for(x) -> PartitionSpec:
         shape = getattr(x, "shape", ())
-        for i, s in enumerate(shape):
-            if s in sizes:
-                return PartitionSpec(*([None] * i + ["data"]))
-        return PartitionSpec()
+        matches = [i for i, s in enumerate(shape) if s in sizes]
+        # a leading time axis that collides with a batch size defers to a
+        # later matching axis ([T, B, ...] trajectories)
+        while (
+            len(matches) > 1
+            and matches[0] < matches[1]
+            and shape[matches[0]] in tsizes
+        ):
+            matches.pop(0)
+        if not matches:
+            return PartitionSpec()
+        if len(matches) > 1:
+            raise ValueError(
+                f"shard_map_batched: ambiguous batch axis for shape {shape} "
+                f"(sizes {sizes}); adjust pool capacities or time_axis_sizes"
+            )
+        i = matches[0]
+        return PartitionSpec(*([None] * i + ["data"]))
 
     def wrapped(*args):
-        in_specs = jax.tree_util.tree_map(spec_for, args)
+        in_specs = list(jax.tree_util.tree_map(spec_for, args))
+        if rng_arg_index is not None:
+            # the key is always replicated (folded per shard inside), even if
+            # its shape coincides with a tiny batch size
+            in_specs[rng_arg_index] = jax.tree_util.tree_map(
+                lambda _: PartitionSpec(), args[rng_arg_index]
+            )
+        in_specs = tuple(in_specs)
         out_shape = jax.eval_shape(fn, *args)
         out_specs = jax.tree_util.tree_map(spec_for, out_shape)
 
@@ -113,15 +143,22 @@ def shard_map_batched(mesh: Mesh, fn, batch_size: int | tuple[int, ...],
                 local_fn, mesh=mesh,
                 in_specs=in_specs, out_specs=out_specs, check_rep=False,
             )
-        return sm(*args)
+        out = sm(*args)
+
+        # safety net: reassembled global shapes must equal the unsharded
+        # fn's shapes (catches any spec misassignment loudly at trace time)
+        def check(o, e):
+            if tuple(o.shape) != tuple(e.shape):
+                raise ValueError(
+                    f"shard_map_batched: output shape {o.shape} != expected "
+                    f"{e.shape} — a batch/time axis size collision; adjust "
+                    f"pool capacities or pass time_axis_sizes"
+                )
+
+        jax.tree_util.tree_map(check, out, out_shape)
+        return out
 
     return wrapped
-
-
-def fold_rng_by_shard(rng, mesh: Mesh):
-    """Per-shard decorrelated key: fold the data-axis index into the key.
-    Must be called INSIDE a shard_map region."""
-    return jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
 
 def replicate(mesh: Mesh, tree):

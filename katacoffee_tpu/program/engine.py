@@ -199,12 +199,15 @@ class Engine:
             raise ValueError("game is over")
         t0 = time.monotonic()
         if avoid is not None:
+            # search_stream maintains visits_per_second per chunk itself;
+            # re-applying an EMA here would fold the stream fns' compile time
+            # into the estimate and crater timed-genmove budgets
             tree = None
             for tree, _ in self.search_stream(max_visits, max_visits, avoid=avoid):
                 pass
-        else:
-            tree = self._get_search_fn(max_visits)(self.state, self._next_key())
-            jax.block_until_ready(tree.visits)
+            return tree
+        tree = self._get_search_fn(max_visits)(self.state, self._next_key())
+        jax.block_until_ready(tree.visits)
         dt = max(time.monotonic() - t0, 1e-6)
         # update running visits/s (ignore compile-dominated first call)
         if max_visits >= 8 and self.visits_per_second is not None:
@@ -337,10 +340,13 @@ class Engine:
             self.play(spot % self.cfg.x_size, spot // self.cfg.x_size, d)
         return action, result
 
-    def genmove(self, max_visits: int, play: bool = True) -> tuple[int, AnalysisResult]:
+    def genmove(
+        self, max_visits: int, play: bool = True, avoid: np.ndarray | None = None
+    ) -> tuple[int, AnalysisResult]:
         """Search + choose a move (getChosenMoveLoc semantics). Returns
-        (flat action, analysis). Plays the move onto the board if `play`."""
-        tree = self.search(max_visits)
+        (flat action, analysis). Plays the move onto the board if `play`.
+        `avoid` masks root moves (genmove_analyze avoid/allow)."""
+        tree = self.search(max_visits, avoid=avoid)
         action = int(mcts.select_moves(self.cfg, self.sp, tree, self._next_key())[0])
         result = self._extract_analysis(tree)
         if play:

@@ -27,6 +27,10 @@ class TimeControls:
     period_time: float = 0.0  # byo-yomi
     periods_left: int = 0
     in_overtime: bool = False
+    # Canadian overtime: periods_left counts STONES sharing one block of
+    # time, so GTP time_left reports (time for stones) rather than
+    # (per-period time, periods)
+    per_stone: bool = False
 
     @staticmethod
     def absolute(main_time: float) -> "TimeControls":
@@ -37,12 +41,15 @@ class TimeControls:
         return TimeControls(system="fischer", main_time_left=main_time, increment=increment)
 
     @staticmethod
-    def byo_yomi(main_time: float, period_time: float, periods: int) -> "TimeControls":
+    def byo_yomi(
+        main_time: float, period_time: float, periods: int, per_stone: bool = False
+    ) -> "TimeControls":
         return TimeControls(
             system="byo_yomi",
             main_time_left=main_time,
             period_time=period_time,
             periods_left=periods,
+            per_stone=per_stone,
         )
 
     def time_for_move(self, moves_left_estimate: int = 12, lag_buffer: float = 0.2) -> float:

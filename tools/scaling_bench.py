@@ -53,7 +53,9 @@ def main(per_device_batch: int = 32, num_sims: int = 24, reps: int = 3):
             states = shard_leading_axis(mesh, states)
             ep = shard_leading_axis(mesh, ep)
             # the production mesh path (command/selfplay.py): manual SPMD
-            fn = shard_map_batched(mesh, fn, batch, rng_arg_index=2)
+            fn = shard_map_batched(
+                mesh, fn, batch, rng_arg_index=2, time_axis_sizes=(moves,)
+            )
         step = jax.jit(fn)
         rng = jax.random.PRNGKey(0)
         # warmup/compile
