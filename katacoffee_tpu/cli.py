@@ -68,11 +68,12 @@ def main(argv: list[str] | None = None) -> int:
             model_dir = args[i + 1]
             del args[i : i + 2]
             from katacoffee_tpu.dataio.checkpoints import load_exported_model
-            from katacoffee_tpu.search import make_nn_eval_fn
+            from katacoffee_tpu.search import make_nn_eval_fn, make_raw_forward_fn
 
             model, params, cfg, meta = load_exported_model(model_dir)
             eval_fn = make_nn_eval_fn(cfg, model, params)
-            m(args, cfg=cfg, eval_fn=eval_fn)
+            raw_fwd = make_raw_forward_fn(cfg, model, params)
+            m(args, cfg=cfg, eval_fn=eval_fn, raw_fwd=raw_fwd)
             return 0
         m(args)
         return 0

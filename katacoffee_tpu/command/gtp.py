@@ -112,6 +112,7 @@ class GTPEngine:
         logger=None,
         name: str = "KataCoffee-TPU",
         seed: int = 0,
+        raw_fwd=None,
     ):
         self.cfg = cfg
         self.sp = search_params
@@ -120,6 +121,10 @@ class GTPEngine:
         self.logger = logger
         self.name = name
         self.seed = seed
+        # full-head forward (states -> model dict) for kata-analyze
+        # ownership output; None (no model) omits ownership like the
+        # reference with debugSkipNeuralNet
+        self.raw_fwd = raw_fwd
         self.komi = 0.0
         self.engine = Engine(cfg, search_params, eval_fn, seed=seed)
         self.time_controls = {1: TimeControls(), 2: TimeControls()}
@@ -218,6 +223,7 @@ class GTPEngine:
         avoid = None  # [A] bool, True = forbidden at root
         allow_mask = None
         maxmoves = 16
+        ownership = False
         A = self.cfg.policy_size
         toks = list(args)
         i = 0
@@ -247,7 +253,10 @@ class GTPEngine:
                 if t == "maxmoves":
                     maxmoves = int(toks[i + 1])
                 i += 2
-            elif t in ("ownership", "ownershipstdev", "movesownership", "rootinfo") and i + 1 < len(toks):
+            elif t == "ownership" and i + 1 < len(toks):
+                ownership = toks[i + 1].lower() == "true"
+                i += 2
+            elif t in ("ownershipstdev", "movesownership", "rootinfo") and i + 1 < len(toks):
                 i += 2  # accepted, not reported (documented deviation)
             elif t.replace(".", "", 1).isdigit() and interval is None:
                 interval = float(t) / 100.0  # bare CENTISECONDS shorthand
@@ -257,7 +266,10 @@ class GTPEngine:
         if allow_mask is not None:
             inv = ~allow_mask
             avoid = inv if avoid is None else (avoid | inv)
-        return {"pla": pla, "interval": interval, "avoid": avoid, "maxmoves": maxmoves}
+        return {
+            "pla": pla, "interval": interval, "avoid": avoid,
+            "maxmoves": maxmoves, "ownership": ownership,
+        }
 
     def _run_analyze(self, spec: dict, genmove: bool = False) -> str:
         """Run (and stream, when an interval is set) an analysis; returns the
@@ -293,9 +305,13 @@ class GTPEngine:
                 dt = time.monotonic() - t0
                 self.cpu_time += dt
                 self.time_controls[pla].update_after_move(dt)
-                return self._analyze_line(result) + f"\nplay {gio.action_to_compact(action, self.cfg)}"
-            result = self.engine.analyze(self.max_visits, avoid=spec["avoid"])
-            return self._analyze_line(result)
+                own = self._ownership_suffix() if spec.get("ownership") else ""
+                return self._analyze_line(result) + own + f"\nplay {gio.action_to_compact(action, self.cfg)}"
+            result = self.engine.analyze(
+                self.max_visits, max_moves=spec["maxmoves"], avoid=spec["avoid"]
+            )
+            own = self._ownership_suffix() if spec.get("ownership") else ""
+            return self._analyze_line(result) + own
 
         # ---- streaming: write the GTP response directly ----
         outfile.write("=" + self._cmd_id + "\n")
@@ -320,9 +336,11 @@ class GTPEngine:
                 return True
             return False
 
+        own_suffix = self._ownership_suffix() if spec.get("ownership") else ""
+
         def report(tree, done):
             result = self.engine._extract_analysis(tree, max_moves=spec["maxmoves"])
-            outfile.write(self._analyze_line(result) + "\n")
+            outfile.write(self._analyze_line(result) + own_suffix + "\n")
             outfile.flush()
 
         if genmove:
@@ -345,6 +363,20 @@ class GTPEngine:
         outfile.flush()
         self._already_responded = True
         return ""
+
+    def _ownership_suffix(self) -> str:
+        """' ownership v1 ... vN' from the net's root map (kata-analyze
+        ownership extension; mover perspective, row-major). Empty when no
+        model is attached."""
+        if self.raw_fwd is None:
+            return ""
+        import jax as _jax
+
+        heads = self.raw_fwd(
+            _jax.tree_util.tree_map(lambda x: x[None], self.engine.state)
+        )
+        own = np.tanh(np.asarray(heads["ownership"][0])).reshape(-1)
+        return " ownership " + " ".join(f"{v:.4f}" for v in own)
 
     def _analyze_line(self, result) -> str:
         """One `info` report in lz/kata-analyze format."""

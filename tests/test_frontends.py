@@ -493,6 +493,29 @@ class TestGTPStreamingAndAvoid:
         out = gtp_session(["play B C3 north", f"kata-analyze white avoid W {legal_cols} 1"])
         assert "info move" in out[1]
 
+    def test_kata_analyze_ownership(self):
+        # `ownership true` appends H*W tanh'd values from the raw forward
+        # (gtp.cpp kata-analyze ownership extension)
+        import re
+
+        def stub_fwd(states):
+            import jax.numpy as jnp
+
+            return {"ownership": jnp.full((1, CFG.y_size, CFG.x_size), 0.5)}
+
+        out = gtp_session(
+            ["play B C3 north", "kata-analyze ownership true 1"],
+            raw_fwd=stub_fwd,
+        )
+        m = re.search(r" ownership((?: -?\d\.\d{4})+)", out[1])
+        assert m, out[1]
+        vals = m.group(1).split()
+        assert len(vals) == CFG.area
+        assert all(abs(float(v) - 0.4621) < 1e-3 for v in vals)
+        # without the flag (or without a model), no ownership field
+        out2 = gtp_session(["play B C3 north", "kata-analyze 1"], raw_fwd=stub_fwd)
+        assert " ownership " not in out2[1]
+
 
 class TestAnalysisAvoidAndStreaming:
     def _engine(self):
