@@ -11,7 +11,8 @@ Query fields supported (reference names): id, moves (["B","C3 NW"] pairs —
 Coffee locations are "<spot> <direction>" or compact "C3NW"), initialStones,
 initialPlayer, boardXSize, boardYSize, rules ("coffee" or {"winLen": k}),
 analyzeTurns, maxVisits, priority (accepted), includeOwnership,
-includePolicy, avoidMoves/allowMoves (list of {player, moves, untilDepth} —
+includePolicy, includePVVisits (adds pvVisits/pvEdgeVisits per moveInfo,
+searchresults.cpp:798-801), avoidMoves/allowMoves (list of {player, moves, untilDepth} —
 applied as root restrictions per analysis.cpp:106-191; untilDepth beyond the
 root is out of scope for the batched search, documented deviation), and
 reportDuringSearchEvery (seconds — interim results stream with
@@ -300,8 +301,11 @@ class AnalysisEngine:
             w = float(wsum[ci]) * escale
             ess = w * w / max(float(wsq[ci]) * escale, 1e-12)
             lcb_u = u - self.sp.lcbStdevs * (var / max(ess, 1.0)) ** 0.5
-            # PV by max edge visits
+            # PV by max edge visits, with per-step node/edge visit counts
+            # (searchresults.cpp:798-801 pvVisits/pvEdgeVisits)
             pv = [gio.action_to_compact(int(a), cfg)]
+            pv_visits = [int(visits[ci])]
+            pv_edge_visits = [v]
             node = int(ci)
             for _ in range(10):
                 ch = children[node]
@@ -312,17 +316,21 @@ class AnalysisEngine:
                 best = live_a[np.argmax(ev[live_a])]
                 pv.append(gio.action_to_compact(int(best), cfg))
                 node = int(ch[best])
-            infos.append(
-                {
-                    "move": gio.action_to_compact(int(a), cfg),
-                    "visits": v,
-                    "winrate": 0.5 * (1.0 - float(wl[ci])),
-                    "prior": float(max(prior[a], 0.0)),
-                    "lcb": 0.5 * (1.0 + lcb_u),
-                    "utility": u,
-                    "pv": pv,
-                }
-            )
+                pv_visits.append(int(visits[node]))
+                pv_edge_visits.append(int(ev[best]))
+            info = {
+                "move": gio.action_to_compact(int(a), cfg),
+                "visits": v,
+                "winrate": 0.5 * (1.0 - float(wl[ci])),
+                "prior": float(max(prior[a], 0.0)),
+                "lcb": 0.5 * (1.0 + lcb_u),
+                "utility": u,
+                "pv": pv,
+            }
+            if query.get("includePVVisits"):
+                info["pvVisits"] = pv_visits
+                info["pvEdgeVisits"] = pv_edge_visits
+            infos.append(info)
         infos.sort(key=lambda r: (-r["visits"], -r["utility"]))
         for order, r in enumerate(infos):
             r["order"] = order

@@ -224,6 +224,8 @@ class GTPEngine:
         allow_mask = None
         maxmoves = 16
         ownership = False
+        pv_visits = False
+        pv_edge_visits = False
         A = self.cfg.policy_size
         toks = list(args)
         i = 0
@@ -249,12 +251,18 @@ class GTPEngine:
                         avoid = mask if avoid is None else (avoid | mask)
                     else:
                         allow_mask = mask if allow_mask is None else (allow_mask | mask)
-            elif t in ("minmoves", "maxmoves", "pvvisits") and i + 1 < len(toks):
+            elif t in ("minmoves", "maxmoves") and i + 1 < len(toks):
                 if t == "maxmoves":
                     maxmoves = int(toks[i + 1])
                 i += 2
             elif t == "ownership" and i + 1 < len(toks):
                 ownership = toks[i + 1].lower() == "true"
+                i += 2
+            elif t == "pvvisits" and i + 1 < len(toks):
+                pv_visits = toks[i + 1].lower() == "true"
+                i += 2
+            elif t == "pvedgevisits" and i + 1 < len(toks):
+                pv_edge_visits = toks[i + 1].lower() == "true"
                 i += 2
             elif t in ("ownershipstdev", "movesownership", "rootinfo") and i + 1 < len(toks):
                 i += 2  # accepted, not reported (documented deviation)
@@ -269,6 +277,7 @@ class GTPEngine:
         return {
             "pla": pla, "interval": interval, "avoid": avoid,
             "maxmoves": maxmoves, "ownership": ownership,
+            "pv_visits": pv_visits, "pv_edge_visits": pv_edge_visits,
         }
 
     def _run_analyze(self, spec: dict, genmove: bool = False) -> str:
@@ -306,12 +315,12 @@ class GTPEngine:
                 self.cpu_time += dt
                 self.time_controls[pla].update_after_move(dt)
                 own = self._ownership_suffix() if spec.get("ownership") else ""
-                return self._analyze_line(result) + own + f"\nplay {gio.action_to_compact(action, self.cfg)}"
+                return self._analyze_line(result, spec) + own + f"\nplay {gio.action_to_compact(action, self.cfg)}"
             result = self.engine.analyze(
                 self.max_visits, max_moves=spec["maxmoves"], avoid=spec["avoid"]
             )
             own = self._ownership_suffix() if spec.get("ownership") else ""
-            return self._analyze_line(result) + own
+            return self._analyze_line(result, spec) + own
 
         # ---- streaming: write the GTP response directly ----
         outfile.write("=" + self._cmd_id + "\n")
@@ -340,7 +349,7 @@ class GTPEngine:
 
         def report(tree, done):
             result = self.engine._extract_analysis(tree, max_moves=spec["maxmoves"])
-            outfile.write(self._analyze_line(result) + own_suffix + "\n")
+            outfile.write(self._analyze_line(result, spec) + own_suffix + "\n")
             outfile.flush()
 
         if genmove:
@@ -378,20 +387,27 @@ class GTPEngine:
         own = np.tanh(np.asarray(heads["ownership"][0])).reshape(-1)
         return " ownership " + " ".join(f"{v:.4f}" for v in own)
 
-    def _analyze_line(self, result) -> str:
-        """One `info` report in lz/kata-analyze format."""
+    def _analyze_line(self, result, spec: dict | None = None) -> str:
+        """One `info` report in lz/kata-analyze format (gtp.cpp:784-809;
+        pvVisits/pvEdgeVisits per GTP_Extensions.md when requested)."""
         parts = []
+        spec = spec or {}
         for mi in result.move_infos:
             mv = gio.action_to_compact(mi.action, self.cfg)
             pv = " ".join(
                 gio.loc_to_compact(*gio.parse_loc(m, self.cfg), self.cfg) for m in mi.pv
             )
-            parts.append(
+            line = (
                 f"info move {mv} visits {mi.visits} "
                 f"winrate {mi.winrate:.6f} prior {mi.prior:.6f} lcb {max(min(mi.lcb*0.5+0.5,1.0),0.0):.6f} "
                 f"utility {mi.utility:.6f} order {mi.order} "
                 f"pv {pv}"
             )
+            if spec.get("pv_visits"):
+                line += " pvVisits " + " ".join(str(v) for v in mi.pv_visits)
+            if spec.get("pv_edge_visits"):
+                line += " pvEdgeVisits " + " ".join(str(v) for v in mi.pv_edge_visits)
+            parts.append(line)
         return " ".join(parts)
 
     # ------------------------------------------------------------------

@@ -51,6 +51,10 @@ class MoveInfo:
     prior: float
     order: int
     pv: list[str]
+    # visits of each PV node / PV edge (searchresults.cpp:798-801 pvVisits /
+    # pvEdgeVisits; emitted by the analysis engine under includePVVisits)
+    pv_visits: list[int] = dataclasses.field(default_factory=list)
+    pv_edge_visits: list[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -403,6 +407,9 @@ class Engine:
             ess = w * w / max(float(wsq[ci]) * escale, 1e-12)
             stdev = (var / max(ess, 1.0)) ** 0.5
             lcb = u - self.sp.lcbStdevs * stdev
+            pv, pv_visits, pv_edge_visits = self._pv(
+                children, visits, edge_visits, int(ci), int(a), v, pv_len
+            )
             rows.append(
                 MoveInfo(
                     action=int(a),
@@ -414,7 +421,9 @@ class Engine:
                     lcb=lcb,
                     prior=float(max(prior[a], 0.0)),
                     order=0,
-                    pv=self._pv(children, edge_visits, int(ci), int(a), pv_len),
+                    pv=pv,
+                    pv_visits=pv_visits,
+                    pv_edge_visits=pv_edge_visits,
                 )
             )
         rows.sort(key=lambda r: (-r.visits, -r.utility))
@@ -428,10 +437,22 @@ class Engine:
             move_infos=rows[:max_moves],
         )
 
-    def _pv(self, children: np.ndarray, edge_visits: np.ndarray, node: int, first_action: int, pv_len: int) -> list[str]:
-        """Principal variation: follow max-edge-visits from `node`
-        (searchresults.cpp appendPV semantics)."""
+    def _pv(
+        self,
+        children: np.ndarray,
+        visits: np.ndarray,
+        edge_visits: np.ndarray,
+        node: int,
+        first_action: int,
+        first_edge_visits: int,
+        pv_len: int,
+    ) -> tuple[list[str], list[int], list[int]]:
+        """Principal variation: follow max-edge-visits from `node`, tracking
+        node/edge visits per step (searchresults.cpp appendPV + the
+        pvVisits/pvEdgeVisits arrays it fills at :798-801)."""
         pv = [gio.action_to_string(first_action, self.cfg)]
+        pv_visits = [int(visits[node])]
+        pv_edge_visits = [int(first_edge_visits)]
         for _ in range(pv_len - 1):
             ch = children[node]
             ev = edge_visits[node]
@@ -441,4 +462,6 @@ class Engine:
             best = live[np.argmax(ev[live])]
             pv.append(gio.action_to_string(int(best), self.cfg))
             node = int(ch[best])
-        return pv
+            pv_visits.append(int(visits[node]))
+            pv_edge_visits.append(int(ev[best]))
+        return pv, pv_visits, pv_edge_visits

@@ -267,6 +267,34 @@ class TestAnalysisEngine:
         assert r["rootInfo"]["currentPlayer"] == "W"
         assert len(r["policy"]) == CFG.policy_size
 
+    def test_include_pv_visits(self):
+        eng = self.make()
+        (r,) = eng.handle_query(
+            {
+                "id": "pvv",
+                "moves": [["B", "C3 north"]],
+                "boardXSize": 5,
+                "boardYSize": 5,
+                "includePVVisits": True,
+                "maxVisits": 32,
+            }
+        )
+        for mi in r["moveInfos"]:
+            assert len(mi["pvVisits"]) == len(mi["pv"])
+            assert len(mi["pvEdgeVisits"]) == len(mi["pv"])
+            # first entry is the child itself: edge visits = the move's visits
+            assert mi["pvEdgeVisits"][0] == mi["visits"]
+            # a node's visits dominate the edge visits into it (edge-visit
+            # catch-up keeps edge <= child under transpositions)
+            assert all(
+                nv >= ev for nv, ev in zip(mi["pvVisits"], mi["pvEdgeVisits"])
+            )
+        # without the flag the fields stay absent (reference default)
+        (r2,) = eng.handle_query(
+            {"id": "pvv2", "moves": [["B", "C3 north"]], "maxVisits": 8}
+        )
+        assert "pvVisits" not in r2["moveInfos"][0]
+
     def test_errors(self):
         eng = self.make()
         (r,) = eng.handle_query({"id": "x", "moves": [["B", "Z9 north"]]})
