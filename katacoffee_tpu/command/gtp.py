@@ -373,6 +373,73 @@ class GTPEngine:
         self._already_responded = True
         return ""
 
+    def _raw_nn(self, which: str) -> str:
+        """`kata-raw-nn SYMMETRY` (0-7 or 'all'): the raw net evaluation of
+        the current position under the given dihedral symmetry, inverse-
+        transformed back to board orientation (gtp.cpp:1474-1546 rawNN,
+        Coffee-adapted: win/loss/draw replaces win/loss/noResult+score, the
+        policy prints one grid per direction, there is no pass). Without a
+        model, falls back to a 2-visit search brief (debugSkipNeuralNet
+        role)."""
+        if self.raw_fwd is None:
+            result = self.engine.analyze(2)
+            lines = [f"winrate {result.root_winrate:.6f}", "policy"]
+            prior = {mi.move: mi.prior for mi in result.move_infos}
+            lines.extend(f"{m.replace(' ', '')} {p:.6f}" for m, p in prior.items())
+            return "\n".join(lines)
+
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from katacoffee_tpu.game import symmetry as S
+        from katacoffee_tpu.game.jitted import legal_mask_flat_fn
+
+        cfg = self.cfg
+        nsym = S.num_symmetries(cfg)
+        if which.lower() == "all":
+            syms = list(range(nsym))
+        else:
+            syms = [int(which)]
+            if not 0 <= syms[0] < nsym:
+                raise ValueError(f"symmetry must be 0-{nsym - 1} or 'all'")
+        state = self.engine.state
+        to_move = int(state.to_move)
+        blocks = []
+        for sym in syms:
+            st = S.apply_state(cfg, sym, state)
+            heads = self.raw_fwd(_jax.tree_util.tree_map(lambda x: x[None], st))
+            # policy: legal-masked softmax in the transformed frame, then
+            # inverted back so grids align with the real board
+            legal = legal_mask_flat_fn(cfg)(st)
+            logits = _jnp.where(legal, heads["policy_logits"][0], -_jnp.inf)
+            pol = _jnp.where(legal, _jax.nn.softmax(logits), -1.0)
+            pol = np.asarray(S.apply_policy(cfg, S.invert(sym), pol))
+            probs = np.asarray(_jax.nn.softmax(heads["value_logits"][0]))
+            win, loss, draw = float(probs[0]), float(probs[1]), float(probs[2])
+            if to_move == 1:  # black to move: mover -> white perspective
+                win, loss = loss, win
+            own = np.tanh(np.asarray(S.apply_plane(S.invert(sym), heads["ownership"][0])))
+            if to_move == 1:
+                own = -own
+            out = [
+                f"symmetry {sym}",
+                f"whiteWin {win:.6f}",
+                f"whiteLoss {loss:.6f}",
+                f"whiteDraw {draw:.6f}",
+                f"varTimeLeft {float(heads['var_time_left'][0]):.3f}",
+                f"shorttermWinlossError {float(heads['shortterm_error'][0]):.3f}",
+            ]
+            for d in range(4):
+                out.append(f"policy {gio.direction_to_string(d)}")
+                grid = pol[d * cfg.area : (d + 1) * cfg.area].reshape(cfg.y_size, cfg.x_size)
+                for row in grid:
+                    out.append(" ".join("     NAN" if p < 0 else f"{p:8.6f}" for p in row))
+            out.append("whiteOwnership")
+            for row in own:
+                out.append(" ".join(f"{v:9.7f}" for v in row))
+            blocks.append("\n".join(out))
+        return "\n\n".join(blocks)
+
     def _ownership_suffix(self) -> str:
         """' ownership v1 ... vN' from the net's root map (kata-analyze
         ownership extension; mover perspective, row-major). Empty when no
@@ -639,11 +706,7 @@ class GTPEngine:
             for mx, my, md, mpla in moves[:upto]:
                 self.engine.play(mx, my, md, mpla)
         elif cmd == "kata-raw-nn":
-            result = self.engine.analyze(2)
-            lines = [f"winrate {result.root_winrate:.6f}", "policy"]
-            prior = {mi.move: mi.prior for mi in result.move_infos}
-            lines.extend(f"{m.replace(' ', '')} {p:.6f}" for m, p in prior.items())
-            resp = "\n".join(lines)
+            resp = self._raw_nn(args[0] if args else "0")
         elif cmd in ("cputime", "gomill-cpu_time"):
             resp = f"{self.cpu_time:.4f}"
         elif cmd == "kata-benchmark":

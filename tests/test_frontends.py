@@ -521,6 +521,32 @@ class TestGTPStreamingAndAvoid:
         out = gtp_session(["play B C3 north", f"kata-analyze white avoid W {legal_cols} 1"])
         assert "info move" in out[1]
 
+    def test_kata_raw_nn(self):
+        # raw-head output under symmetry 0 / all (gtp.cpp:1474 rawNN)
+        def stub_fwd(states):
+            import jax.numpy as jnp
+
+            B = states.to_move.shape[0]
+            return {
+                "policy_logits": jnp.zeros((B, CFG.policy_size)),
+                "value_logits": jnp.asarray([[0.3, 0.2, 0.5]] * B),
+                "var_time_left": jnp.full((B,), 4.0),
+                "shortterm_error": jnp.full((B,), 0.1),
+                "ownership": jnp.zeros((B, CFG.y_size, CFG.x_size)),
+            }
+
+        out = gtp_session(
+            ["play B C3 north", "kata-raw-nn 0", "kata-raw-nn all", "kata-raw-nn 9"],
+            raw_fwd=stub_fwd,
+        )
+        assert out[1].startswith("= symmetry 0")
+        assert "whiteWin" in out[1] and "whiteOwnership" in out[1]
+        # uniform legal policy: 16 legal col-C moves -> 0.0625 each, NAN elsewhere
+        assert out[1].count("0.062500") == 16
+        assert "NAN" in out[1]
+        assert out[2].count("symmetry ") == 8
+        assert out[3].startswith("?")  # bad symmetry index
+
     def test_kata_analyze_ownership(self):
         # `ownership true` appends H*W tanh'd values from the raw forward
         # (gtp.cpp kata-analyze ownership extension)
