@@ -15,6 +15,10 @@ Reference equivalents (`cpp/book/book.{h,cpp}`, `cpp/command/genbook.cpp`):
     wl_cost accumulates, along the cheapest path, how much search utility
     each ancestor's move sacrificed vs its best sibling — top-of-book and
     near-optimal lines get the visits, refuted lines decay exponentially;
+    expanded nodes with leftover policy mass re-enter the frontier for
+    widening (bonusPerExcessUnexpandedPolicy role, book.h:285);
+  * recursive values → recompute() negamaxes winloss over children with the
+    node's own search value as floor (recomputeNodeValues, book.cpp:1277);
   * persistence: one JSON file (the reference's .katabook binary is a
     serialization detail, not a capability);
   * writebook → static HTML export (bookcssjs.cpp equivalent).
@@ -73,6 +77,15 @@ class BookNode:
     # get deep expansion; refuted lines decay exponentially.
     wl_cost: float = 0.0
     expanded: bool = False
+    # Policy mass of legal moves NOT yet in edges (the reference's
+    # bonusPerExcessUnexpandedPolicy ingredient, book.h:285): expanded nodes
+    # with meaningful unexpanded mass re-enter the frontier for widening.
+    unexpanded_mass: float = 1.0
+    # Recursive book value: negamax over the expanded children's book values,
+    # floored by the node's own search value (recomputeNodeValues,
+    # book.cpp:1277-1380). None until recompute() runs.
+    book_wl: float | None = None
+    rec_visits: int = 0  # recursive subtree visits (recursiveValues.visits)
     edges: dict = dataclasses.field(default_factory=dict)  # action -> (child key, prior, visits)
 
     def state(self, cfg: GameConfig) -> GameState:
@@ -127,14 +140,29 @@ class Book:
     # simplification of the reference's per-node cost model, book.cpp:
     # costPerMove × move-prob compounding × biggestWLCostFromRoot penalty)
     COST_SCALE = 0.15
+    # Widening (bonusPerExcessUnexpandedPolicy role): an expanded node
+    # re-enters the frontier at priority × WIDEN_FACTOR × unexpanded policy
+    # mass, once that mass exceeds MIN_WIDEN_MASS. Expanding it again adds
+    # the next-best moves the first pass cut off.
+    WIDEN_FACTOR = 0.25
+    MIN_WIDEN_MASS = 0.05
 
     def _priority(self, n: BookNode) -> float:
-        return n.path_prob * math.exp(-max(n.wl_cost, 0.0) / self.COST_SCALE)
+        p = n.path_prob * math.exp(-max(n.wl_cost, 0.0) / self.COST_SCALE)
+        if n.expanded:
+            p *= self.WIDEN_FACTOR * n.unexpanded_mass
+        return p
 
-    def frontier(self, limit: int) -> list[str]:
-        """Unexpanded nodes ranked by reach-probability × line-quality (see
-        _priority; module docstring)."""
-        cand = [n for n in self.nodes.values() if not n.expanded]
+    def frontier(self, limit: int, widen: bool = True) -> list[str]:
+        """Expansion candidates ranked by reach-probability × line-quality
+        (see _priority): unexpanded nodes, plus (with `widen`) expanded
+        nodes whose unexpanded policy mass still exceeds MIN_WIDEN_MASS."""
+        cand = [
+            n
+            for n in self.nodes.values()
+            if not n.expanded
+            or (widen and n.edges and n.unexpanded_mass > self.MIN_WIDEN_MASS)
+        ]
         cand.sort(key=lambda n: -self._priority(n))
         return [n.key for n in cand[:limit]]
 
@@ -173,10 +201,12 @@ class Book:
         wl = np.asarray(vals["root_wl"])
         draw = np.asarray(vals["root_draw"])
         child_u = np.asarray(vals["child_utility"])  # parent persp.
+        child_wl = np.asarray(vals["child_wl"])  # parent persp.
 
         step1 = jax.jit(lambda s, a: step(cfg, s, a))
         for i, k in enumerate(keys):
             node = self.nodes[k]
+            had_edges = len(node.edges)
             node.winloss = float(wl[i])
             node.draw = float(draw[i])
             node.visits += num_visits
@@ -192,23 +222,56 @@ class Book:
             for a in order:
                 if added >= top_k or rv[i][a] <= 0:
                     break
+                if int(a) in node.edges:  # widening pass: keep, refresh visits
+                    ckey, pr, v0 = node.edges[int(a)]
+                    node.edges[int(a)] = (ckey, pr, max(v0, int(rv[i][a])))
+                    continue
                 # low-prior moves still enter the book if the search actually
                 # spent visits on them
-                if priors[i][a] < min_prior and rv[i][a] < 2 and added > 0:
+                if priors[i][a] < min_prior and rv[i][a] < 2 and (added > 0 or had_edges):
                     continue
                 child_state = step1(st, jnp.asarray(int(a), jnp.int32))
                 child_prob = node.path_prob * max(float(priors[i][a]), 1e-3)
                 child_cost = node.wl_cost + max(best_u - float(child_u[i][a]), 0.0)
+                ckey = self._add_state(child_state, child_prob, child_cost)
+                child = self.nodes[ckey]
                 if bool(child_state.done):
-                    ckey = self._add_state(child_state, child_prob, child_cost)
-                    self.nodes[ckey].expanded = True  # terminal: nothing to expand
-                    self.nodes[ckey].winloss = -1.0 if int(child_state.winner) else 0.0
-                else:
-                    ckey = self._add_state(child_state, child_prob, child_cost)
+                    child.expanded = True  # terminal: nothing to expand
+                    child.unexpanded_mass = 0.0
+                    child.winloss = -1.0 if int(child_state.winner) else 0.0
+                elif not child.expanded and child.visits == 0:
+                    # seed with the parent search's estimate of this child
+                    # (thisValuesNotInBook role) until its own search runs
+                    child.winloss = -float(child_wl[i][a])  # child-mover persp.
                 node.edges[int(a)] = (ckey, float(priors[i][a]), int(rv[i][a]))
                 added += 1
+            # remaining policy mass not in the book (widening priority);
+            # a pass that adds nothing retires the node from the frontier
+            mass = 1.0 - sum(pr for _, pr, _ in node.edges.values())
+            node.unexpanded_mass = max(0.0, mass) if (added or not had_edges) else 0.0
 
     # ------------------------------------------------------------------
+
+    def recompute(self):
+        """Recursive book values (recomputeEverything → recomputeNodeValues,
+        book.cpp:941-955,1277-1380): negamax each node's winloss over its
+        expanded children's book values, floored by the node's own search
+        value (an unexpanded move may be better than every edge — the
+        reference's thisValuesNotInBook floor). Every Coffee move adds a
+        stone, so num_turns strictly increases along edges and descending
+        num_turns is a valid reverse-topological order over the DAG. Also
+        accumulates recursive subtree visits (recursiveValues.visits;
+        shared transpositions double-count, as in the reference)."""
+        for n in sorted(self.nodes.values(), key=lambda m: -m.num_turns):
+            best = None
+            rec = n.visits
+            for ckey, _, _ in n.edges.values():
+                child = self.nodes[ckey]
+                cv = -(child.book_wl if child.book_wl is not None else child.winloss)
+                best = cv if best is None else max(best, cv)
+                rec += child.rec_visits
+            n.book_wl = n.winloss if best is None else max(n.winloss, best)
+            n.rec_visits = rec
 
     def best_line(self, max_len: int = 10) -> list[tuple[str, int]]:
         """Greedy most-visited line from the root: [(node key, action)]."""
@@ -237,6 +300,16 @@ class Book:
                     errors.append(f"{k}: bad action {a}")
             if not (-1.0001 <= node.winloss <= 1.0001):
                 errors.append(f"{k}: winloss out of range {node.winloss}")
+            if node.book_wl is not None:
+                # recursive value must dominate the negamax of the children
+                for a, (ckey, _, _) in node.edges.items():
+                    child = self.nodes.get(ckey)
+                    if child is not None and child.book_wl is not None:
+                        if node.book_wl < -child.book_wl - 1e-6:
+                            errors.append(
+                                f"{k}: book_wl {node.book_wl:.4f} < negamax of"
+                                f" edge {a} ({-child.book_wl:.4f})"
+                            )
         if self.root_key not in self.nodes:
             errors.append("missing root")
         return errors
@@ -256,7 +329,7 @@ class Book:
                     **{f: getattr(n, f) for f in (
                         "board", "to_move", "last_spot", "last_dir", "num_turns",
                         "winloss", "draw", "visits", "path_prob", "wl_cost",
-                        "expanded",
+                        "expanded", "unexpanded_mass", "book_wl", "rec_visits",
                     )},
                     "edges": {str(a): list(e) for a, e in n.edges.items()},
                 }
@@ -289,6 +362,9 @@ class Book:
                 path_prob=nd["path_prob"],
                 wl_cost=nd.get("wl_cost", 0.0),
                 expanded=nd["expanded"],
+                unexpanded_mass=nd.get("unexpanded_mass", 0.0 if nd["expanded"] else 1.0),
+                book_wl=nd.get("book_wl"),
+                rec_visits=nd.get("rec_visits", 0),
                 edges={int(a): tuple(e) for a, e in nd["edges"].items()},
             )
             book.nodes[k] = node
@@ -340,7 +416,9 @@ class Book:
                 '<link rel="stylesheet" href="style.css"><title>KataCoffee book</title></head><body>'
                 f"<h2>Position {n.key[:12]}</h2>"
                 f'<table class="b">{"".join(rows)}</table>'
-                f"<p>to move: {mover} · winloss {n.winloss:+.3f} · draw {n.draw:.3f} "
+                f"<p>to move: {mover} · winloss {n.winloss:+.3f}"
+                + (f" · book {n.book_wl:+.3f}" if n.book_wl is not None else "")
+                + f" · draw {n.draw:.3f} "
                 f"· visits {n.visits} · reach-prob {n.path_prob:.4f}</p>"
                 '<table class="m"><tr><th>move</th><th>prior</th><th>visits</th></tr>'
                 + "".join(moves)
@@ -376,4 +454,5 @@ def build_book(
         key, k = jax.random.split(key)
         book.expand(frontier, sp, eval_fn, num_visits, k)
         log(f"book: round {r}: expanded {len(frontier)}, total nodes {len(book.nodes)}")
+    book.recompute()
     return book

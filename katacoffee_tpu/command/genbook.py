@@ -47,6 +47,7 @@ def main_genbook(argv, **kw):
             sp = SearchParams.for_tests_v2()
             book.expand(frontier, sp, eval_fn, args.visits, k)
             print(f"book: round {r}: +{len(frontier)} -> {len(book.nodes)} nodes")
+        book.recompute()
     else:
         book = build_book(
             cfg,

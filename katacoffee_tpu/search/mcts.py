@@ -2091,6 +2091,8 @@ def root_values(tree: Tree):
         "root_wl": tree.stats[:, 0, S_WL],
         "root_draw": tree.stats[:, 0, S_DRAW],
         "child_utility": cs["u"],
+        "child_wl": cs["wl"],  # parent perspective, 0 for missing edges
+        "child_draw": cs["draw"],
         "root_visits": (tree.stats[:, 0, S_VISITS] + 0.5).astype(jnp.int32),
     }
 

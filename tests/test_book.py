@@ -93,6 +93,65 @@ class TestBook:
         assert "winloss" in text and "<table" in text
 
 
+class TestWideningAndRecompute:
+    def test_widening_adds_new_edges(self):
+        """An expanded node with unexpanded policy mass re-enters the
+        frontier (bonusPerExcessUnexpandedPolicy role) and a second pass
+        adds moves the first top_k cut off."""
+        book = Book(CFG)
+        rng = jax.random.PRNGKey(0)
+        ev = uniform_eval_fn(CFG)
+        book.expand([book.root_key], SP, ev, 48, rng, top_k=2)
+        root = book.nodes[book.root_key]
+        first = set(root.edges)
+        assert len(first) == 2
+        assert root.unexpanded_mass > 0.5  # 25 uniform first moves, 2 booked
+        assert book.root_key in book.frontier(100)
+        assert book.root_key not in book.frontier(100, widen=False)
+        book.expand([book.root_key], SP, ev, 48, jax.random.PRNGKey(1), top_k=4)
+        assert len(root.edges) > len(first)
+        assert first <= set(root.edges)  # widening keeps existing edges
+        # a node whose widening pass adds nothing retires from the frontier
+        root.unexpanded_mass = 0.01
+        assert book.root_key not in book.frontier(100)
+
+    def test_recompute_negamax(self):
+        """book_wl = max(own search value, negamax over children)
+        (recomputeNodeValues, book.cpp:1277-1380)."""
+        book = Book(CFG)
+        s = init_state(CFG)
+        st1 = step(CFG, s, jnp.asarray(0))
+        k1 = book._add_state(st1, 0.5)
+        st2 = step(CFG, s, jnp.asarray(6))
+        k2 = book._add_state(st2, 0.5)
+        root = book.nodes[book.root_key]
+        root.expanded = True
+        root.winloss = 0.1
+        root.visits = 10
+        root.edges = {0: (k1, 0.5, 5), 6: (k2, 0.4, 3)}
+        book.nodes[k1].winloss = -0.8  # losing for its mover => +0.8 for root
+        book.nodes[k1].visits = 5
+        book.nodes[k2].winloss = 0.3
+        book.nodes[k2].visits = 3
+        book.recompute()
+        assert root.book_wl == 0.8
+        assert book.nodes[k1].book_wl == -0.8  # leaf: own value
+        assert root.rec_visits == 18
+        assert book.check() == []
+        # floor: if every child is bad, the node's own value wins
+        book.nodes[k1].winloss = 0.5
+        book.nodes[k2].winloss = 0.5
+        book.recompute()
+        assert root.book_wl == 0.1
+
+    def test_built_book_recomputed(self):
+        book = small_book(rounds=3)
+        assert all(n.book_wl is not None for n in book.nodes.values())
+        root = book.nodes[book.root_key]
+        assert root.rec_visits >= root.visits
+        assert book.check() == []
+
+
 class TestCostModel:
     """Expansion priority = path_prob x exp(-wl_cost/scale)
     (book.cpp cost-model role)."""
