@@ -38,6 +38,7 @@ def run_script(name: str) -> str:
         "gtp_rules.txt",
         "gtp_printsgf.txt",
         "gtp_errors.txt",
+        "gtp_analyze.txt",
     ],
 )
 def test_gtp_golden(script):
