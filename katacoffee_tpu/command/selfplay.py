@@ -126,7 +126,10 @@ def run_selfplay_daemon(
     reference's shutdown flush (selfplay.cpp:22-31,129-132)."""
     logger = logger or Logger(log_to_stdout=True)
     models_dir = os.path.join(base_dir, "models")
-    rng = jax.random.PRNGKey(spc.seed)
+    # fold the host index in so multi-host daemons generate distinct games
+    # (each host is an independent worker; shard-level decorrelation inside
+    # one host comes from shard_map_batched's per-shard fold)
+    rng = jax.random.fold_in(jax.random.PRNGKey(spc.seed), jax.process_index())
 
     stop_requested = {"flag": False}
     if install_signal_handlers:
@@ -178,7 +181,12 @@ def run_selfplay_daemon(
         else:
             logger.write(f"selfplay: no usable hint positions in {spc.hintposes_dir}")
 
-    n_dev = len(jax.devices())
+    # selfplay is embarrassingly parallel across hosts: each daemon uses its
+    # LOCAL chips (parallel/mesh.py make_data_mesh(local=True)) and hosts
+    # coordinate only through the filesystem bus, like the reference's
+    # per-machine selfplay workers — no DCN on the per-step path, no
+    # cross-host lockstep gating
+    n_dev = len(jax.local_devices())
     mesh_active = spc.use_mesh and n_dev > 1 and spc.batch_size % n_dev == 0
     # under the mesh, pool capacities are sharded over devices too (their
     # per-shard updates diverge, parallel/mesh.py shard_map_batched)
@@ -207,10 +215,10 @@ def run_selfplay_daemon(
     if mesh_active:
         from katacoffee_tpu.parallel import make_data_mesh, shard_leading_axis
 
-        mesh = make_data_mesh()
+        mesh = make_data_mesh(local=True)
         states = shard_leading_axis(mesh, states)
         ep = shard_leading_axis(mesh, ep)
-        logger.write(f"selfplay: game batch sharded over {n_dev} devices (shard_map)")
+        logger.write(f"selfplay: game batch sharded over {n_dev} local devices (shard_map)")
 
     segment_fn = None
     writer = None
@@ -231,7 +239,7 @@ def run_selfplay_daemon(
     use_game_forks = settings.early_fork_game_prob > 0.0 or settings.fork_game_prob > 0.0
     fork_pool = None
     fork_fn = None
-    fork_np_rng = np.random.default_rng(spc.seed ^ 0x5EEDF04C)
+    fork_np_rng = np.random.default_rng((spc.seed ^ 0x5EEDF04C) + jax.process_index())
     if use_game_forks:
         from katacoffee_tpu.selfplay.forking import init_fork_pool
 
@@ -432,8 +440,11 @@ def main(argv, **kw):
 
     import argparse
 
-    # multi-host DCN: no-op unless JAX_COORDINATOR_ADDRESS etc. are set
-    # (tools/launch_2host.sh); the daemon's mesh then spans all hosts' chips
+    # multi-host: no-op unless JAX_COORDINATOR_ADDRESS etc. are set
+    # (tools/launch_2host.sh). Each daemon still runs over its LOCAL chips
+    # only (selfplay needs no cross-host comms); initializing the cluster
+    # here gives every host a distinct jax.process_index() for seed/name
+    # decorrelation and lets a co-located trainer share the rendezvous.
     init_distributed()
 
     ap = argparse.ArgumentParser(prog="katacoffee selfplay")

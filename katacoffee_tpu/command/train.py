@@ -49,11 +49,18 @@ class TrainerConfig:
     use_mesh: bool = True
 
 
-def _batch_iterator(shuffled_dir: str, batch_size: int, rng: np.random.Generator):
+def _batch_iterator(shuffled_dir: str, batch_size: int, rng: np.random.Generator,
+                    stride: int = 1, offset: int = 0):
     """Yield fixed-size batches from the shuffled chunks, looping, reshuffling
-    chunk order per epoch. Yields (epoch, TrainingBatch)."""
+    chunk order per epoch. Yields (epoch, TrainingBatch).
+
+    Multi-host (`stride` = process_count, `offset` = process_index): every
+    process runs the SAME seeded iterator (identical shard order and row
+    permutations) but consumes only every stride-th batch — disjoint rows per
+    host, the role of torch's DistributedSampler in the reference's DDP loop
+    (train.py:403)."""
     epoch = 0
-    leftover = None
+    bi = 0
     while True:
         shards = list(iter_shards(shuffled_dir))
         if not shards:
@@ -68,9 +75,11 @@ def _batch_iterator(shuffled_dir: str, batch_size: int, rng: np.random.Generator
             arrays = jax.tree_util.tree_map(lambda x: np.asarray(x)[perm], batch)
             start = 0
             while start + batch_size <= n:
-                yield epoch, jax.tree_util.tree_map(
-                    lambda x: jnp.asarray(x[start : start + batch_size]), arrays
-                )
+                if bi % stride == offset:
+                    yield epoch, jax.tree_util.tree_map(
+                        lambda x: jnp.asarray(x[start : start + batch_size]), arrays
+                    )
+                bi += 1
                 start += batch_size
         epoch += 1
 
@@ -106,25 +115,43 @@ def run_training(
 
     n_dev = len(jax.devices())
     shard_batch = None
+    multi = False  # mesh spans other hosts' chips (DCN data parallelism)
     if trc.use_mesh and n_dev > 1 and trc.batch_size % n_dev == 0:
         from katacoffee_tpu.parallel import make_data_mesh
         from katacoffee_tpu.train import make_sharded_train_step
 
         mesh = make_data_mesh()
+        multi = len({d.process_index for d in mesh.devices.flat}) > 1
         step_fn, shard_batch, place_state = make_sharded_train_step(
             model, cfg, tc, batch_size=trc.batch_size, mesh=mesh
         )
         state = place_state(state)
-        logger.write(f"train: data-parallel over {n_dev} devices")
+        logger.write(
+            f"train: data-parallel over {n_dev} devices"
+            + (f" on {jax.process_count()} hosts" if multi else "")
+        )
     else:
         step_fn = make_train_step(model, cfg, tc, batch_size=trc.batch_size)
     rng = np.random.default_rng(trc.seed + start_step)
     key = jax.random.PRNGKey(trc.seed + 1)
 
-    batches = _batch_iterator(shuffled_dir, trc.batch_size, rng)
+    # multi-host: same seeded iterator everywhere, each host consumes every
+    # pc-th local-size batch (disjoint rows; DistributedSampler role)
+    pc, pid = (jax.process_count(), jax.process_index()) if multi else (1, 0)
+    batches = _batch_iterator(
+        shuffled_dir, trc.batch_size // pc, rng, stride=pc, offset=pid
+    )
+    is_writer = pid == 0  # one host owns checkpoints/exports/metrics files
+    from katacoffee_tpu.parallel.mesh import local_rows
+
+    def host_state():
+        # replicated-but-global arrays can't be np.asarray'd directly on a
+        # multi-host mesh; pull this host's copy of every leaf
+        return local_rows(state) if multi else state
+
     steps = 0
     t0 = time.monotonic()
-    mfile = open(metrics_path, "a")
+    mfile = open(metrics_path, "a") if is_writer else None
     while trc.max_steps is None or steps < trc.max_steps:
         epoch, batch = next(batches)
         if batch is None:
@@ -140,8 +167,8 @@ def run_training(
         steps += 1
         gstep = start_step + steps
 
-        if steps % 50 == 0 or steps == 1:
-            m = {k2: float(v) for k2, v in metrics.items()}
+        if (steps % 50 == 0 or steps == 1) and is_writer:
+            m = {k2: float(v) for k2, v in local_rows(metrics).items()}
             m.update(step=gstep, epoch=epoch, time=time.time(),
                      p_lr=current_lr(tc, trc.batch_size, gstep))
             mfile.write(json.dumps(m) + "\n")
@@ -150,16 +177,19 @@ def run_training(
                 f"train: step {gstep} loss {m['loss']:.4f} p {m['loss_policy']:.4f} "
                 f"v {m['loss_value']:.4f} ({steps / max(time.monotonic()-t0, 1e-9):.2f} steps/s)"
             )
-        if steps % trc.checkpoint_every == 0:
-            save_checkpoint(ckpt_path, state, extra={"train_step": gstep})
-            _val_metrics(model, cfg, state, val_dir, trc, metrics_val_path, gstep, logger)
-        if steps % trc.steps_per_export == 0:
-            _export(base_dir, export_to, run_name, gstep, state, trc, cfg, logger)
+        if steps % trc.checkpoint_every == 0 and is_writer:
+            hs = host_state()
+            save_checkpoint(ckpt_path, hs, extra={"train_step": gstep})
+            _val_metrics(model, cfg, hs, val_dir, trc, metrics_val_path, gstep, logger)
+        if steps % trc.steps_per_export == 0 and is_writer:
+            _export(base_dir, export_to, run_name, gstep, host_state(), trc, cfg, logger)
 
-    save_checkpoint(ckpt_path, state, extra={"train_step": start_step + steps})
-    _val_metrics(model, cfg, state, val_dir, trc, metrics_val_path, start_step + steps, logger)
-    _export(base_dir, export_to, run_name, start_step + steps, state, trc, cfg, logger)
-    mfile.close()
+    if is_writer:
+        hs = host_state()
+        save_checkpoint(ckpt_path, hs, extra={"train_step": start_step + steps})
+        _val_metrics(model, cfg, hs, val_dir, trc, metrics_val_path, start_step + steps, logger)
+        _export(base_dir, export_to, run_name, start_step + steps, hs, trc, cfg, logger)
+        mfile.close()
     return steps
 
 

@@ -17,6 +17,7 @@ one-chip capacity, so tp/pp/sp are N/A (SURVEY.md §2.8 P8).
 
 from katacoffee_tpu.parallel.mesh import (
     init_distributed,
+    local_rows,
     make_data_mesh,
     shard_leading_axis,
     shard_map_batched,
@@ -25,6 +26,7 @@ from katacoffee_tpu.parallel.mesh import (
 
 __all__ = [
     "init_distributed",
+    "local_rows",
     "make_data_mesh",
     "shard_leading_axis",
     "shard_map_batched",

@@ -34,12 +34,18 @@ def _int_env(name: str) -> int | None:
     return int(v) if v else None
 
 
-def make_data_mesh(num_devices: int | None = None) -> Mesh:
+def make_data_mesh(num_devices: int | None = None, local: bool = False) -> Mesh:
     """1-D mesh over (up to) all global devices, axis name 'data'. Device
     order follows jax.devices(), which groups by host — so the batch shards
     that land on one host's chips are contiguous and DCN traffic stays off
-    the per-step path."""
-    devices = jax.devices()
+    the per-step path.
+
+    `local=True` builds the mesh over THIS process's devices only — the
+    selfplay-daemon topology: selfplay needs no cross-host communication,
+    so each host runs an independent daemon over its own chips at its own
+    pace (the reference's per-machine selfplay workers) and only training
+    uses the global mesh (psum gradients over DCN)."""
+    devices = jax.local_devices() if local else jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), ("data",))
@@ -47,12 +53,59 @@ def make_data_mesh(num_devices: int | None = None) -> Mesh:
 
 def shard_leading_axis(mesh: Mesh, tree):
     """Place a pytree with its leading axis sharded over 'data'. Leading
-    dims must be divisible by the mesh size."""
+    dims must be divisible by the mesh size. Inputs are the full GLOBAL
+    host arrays (every process computes the same ones); when the mesh spans
+    other hosts' devices each process contributes the rows its mesh slice
+    owns (jax.make_array_from_callback — device_put cannot address other
+    hosts' devices). A LOCAL mesh (make_data_mesh(local=True)) is fully
+    addressable even multi-process and takes the plain device_put path."""
+
     def place(x):
         spec = P("data", *([None] * (x.ndim - 1))) if x.ndim > 0 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if not sharding.is_fully_addressable:
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx, x=x: x[idx]
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(place, tree)
+
+
+def local_rows(tree):
+    """Host numpy of THIS process's shard of each leaf (addressable shards
+    concatenated along the sharded axis, in shard-index order). The
+    multi-host daemon's host-side path: each host finalizes and writes the
+    rows its chips generated — the multi-mesh analogue of the reference's
+    independent per-machine selfplay workers (SURVEY §2.8 P2/P6). Single
+    process, this is just np.asarray."""
+
+    def pull(x):
+        if not hasattr(x, "addressable_shards") or getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        # find the sharded axis from the first shard's index slices
+        idx = shards[0].index
+        axes = [
+            i
+            for i, sl in enumerate(idx)
+            if not (sl.start in (None, 0) and sl.stop in (None, x.shape[i]))
+        ]
+        if not axes:  # replicated leaf
+            return np.asarray(shards[0].data)
+        ax = axes[0]
+        seen = set()
+        parts = []
+        for s in shards:
+            key = s.index[ax].start
+            if key in seen:  # same slice on several local devices
+                continue
+            seen.add(key)
+            parts.append(np.asarray(s.data))
+        return np.concatenate(parts, axis=ax)
+
+    return jax.tree_util.tree_map(pull, tree)
 
 
 def shard_map_batched(mesh: Mesh, fn, batch_size: int | tuple[int, ...],

@@ -16,6 +16,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -191,18 +192,40 @@ def make_train_step(model, cfg: GameConfig, tc: TrainConfig, batch_size: int):
 
 def make_sharded_train_step(model, cfg: GameConfig, tc: TrainConfig, batch_size: int, mesh: Mesh):
     """Data-parallel train step over `mesh` axis 'data': params replicated,
-    batch sharded; XLA inserts the gradient all-reduce over ICI (the NCCL
-    allreduce of the reference, train.py:403)."""
+    batch sharded; XLA inserts the gradient all-reduce over ICI within a
+    host and DCN across hosts (the NCCL allreduce of the reference,
+    train.py:403). Multi-process (mesh spanning several hosts), each
+    process passes shard_batch its OWN rows — batch_size/process_count of
+    them, the data its host loaded — and place_state the same replicated
+    state on every host."""
     step_fn = make_train_step(model, cfg, tc, batch_size)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
+    multi = not batch_sharded.is_fully_addressable
 
     def shard_batch(batch: TrainingBatch) -> TrainingBatch:
+        if multi:
+            pc = jax.process_count()
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    batch_sharded,
+                    np.asarray(x),
+                    (np.asarray(x).shape[0] * pc,) + np.asarray(x).shape[1:],
+                ),
+                batch,
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, batch_sharded), batch
         )
 
     def place_state(state: TrainState) -> TrainState:
+        if multi:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    replicated, np.asarray(x), np.asarray(x).shape
+                ),
+                state,
+            )
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated), state)
 
     return step_fn, shard_batch, place_state
