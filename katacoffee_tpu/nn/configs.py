@@ -112,6 +112,48 @@ b10c384nbt = _reg(
     )
 )
 
+b15c192 = _reg(
+    ModelSpec(
+        name="b15c192",
+        trunk_channels=192,
+        mid_channels=192,
+        gpool_channels=48,
+        blocks=("regular",) * 4 + ("gpool",) + ("regular",) * 4 + ("gpool",) + ("regular",) * 5,
+        p1_channels=32,
+        g1_channels=32,
+        v1_channels=64,
+        v2_size=96,
+    )
+)
+
+b20c256 = _reg(
+    ModelSpec(
+        name="b20c256",
+        trunk_channels=256,
+        mid_channels=256,
+        gpool_channels=64,
+        blocks=("regular",) * 5 + ("gpool",) + ("regular",) * 5 + ("gpool",) + ("regular",) * 4 + ("gpool",) + ("regular",) * 3,
+        p1_channels=48,
+        g1_channels=48,
+        v1_channels=64,
+        v2_size=112,
+    )
+)
+
+b18c384nbt = _reg(
+    ModelSpec(
+        name="b18c384nbt",
+        trunk_channels=384,
+        mid_channels=192,
+        gpool_channels=64,
+        blocks=("nbt",) * 5 + ("gpool",) + ("nbt",) * 5 + ("gpool",) + ("nbt",) * 4 + ("gpool",) + ("nbt",) * 2,
+        p1_channels=64,
+        g1_channels=64,
+        v1_channels=96,
+        v2_size=128,
+    )
+)
+
 
 def get_model_spec(name: str) -> ModelSpec:
     try:

@@ -116,3 +116,21 @@ def test_gradients_flow():
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]
     alpha_grads = [v for k, v in flat if "alpha" in jax.tree_util.keystr(k)]
     assert alpha_grads and any(float(jnp.abs(g).max()) > 0 for g in alpha_grads)
+
+
+def test_all_registry_specs_construct():
+    """Every named config in the menu (python/modelconfigs.py role) wires
+    up: param shapes and every head's output shape validate under
+    jax.eval_shape — no compile, so even the large nbt trunks are cheap."""
+    from katacoffee_tpu.nn.configs import get_model_spec, model_names
+
+    sp, gl = batch_features([init_state(CFG)])
+    for name in model_names():
+        model = CoffeeNet(get_model_spec(name), win_len=CFG.win_len)
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(0), sp, gl)
+        out = jax.eval_shape(lambda v: model.apply(v, sp, gl), params)
+        assert out["policy_logits"].shape == (1, CFG.policy_size), name
+        assert out["value_logits"].shape == (1, 3), name
+        assert out["ownership"].shape == (1, CFG.y_size, CFG.x_size), name
+        n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+        assert n > 0, name
