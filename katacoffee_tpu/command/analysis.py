@@ -10,9 +10,14 @@ search call — cross-position batching by construction (SURVEY.md §2.8 P2/P3).
 Query fields supported (reference names): id, moves (["B","C3 NW"] pairs —
 Coffee locations are "<spot> <direction>" or compact "C3NW"), initialStones,
 initialPlayer, boardXSize, boardYSize, rules ("coffee" or {"winLen": k}),
-analyzeTurns, maxVisits, priority (accepted), includeOwnership,
+analyzeTurns, maxVisits, priority (accepted), analysisPVLen,
+includeOwnership / includeOwnershipStdev / includeMovesOwnership /
+includeMovesOwnershipStdev (tree-averaged maps, search/ownership.py),
 includePolicy, includePVVisits (adds pvVisits/pvEdgeVisits per moveInfo,
-searchresults.cpp:798-801), avoidMoves/allowMoves (list of {player, moves, untilDepth} —
+searchresults.cpp:798-801), rootPolicyTemperature / rootFpuReductionMax
+(top-level shorthands, Analysis_Engine.md), overrideSettings (ANY
+SearchParams field per query — searches re-jit per distinct override combo,
+cached), avoidMoves/allowMoves (list of {player, moves, untilDepth} —
 applied as root restrictions per analysis.cpp:106-191; untilDepth beyond the
 root is out of scope for the batched search, documented deviation), and
 reportDuringSearchEvery (seconds — interim results stream with
@@ -20,13 +25,18 @@ isDuringSearch=true between compiled search chunks). Actions: query_version,
 clear_cache, terminate/terminate_all (accepted; chunks are synchronous so
 there is nothing in flight to stop — documented deviation).
 
-Result fields per turn: id, turnNumber, moveInfos (move, visits, winrate,
-prior, lcb, utility, order, pv), rootInfo (winrate, visits, utility,
-currentPlayer), and optionally policy / ownership from the raw net.
+Result fields per turn: id, turnNumber, moveInfos (move, visits, weight,
+winrate, prior, lcb, utility, utilityLcb, order, pv, optional
+pvVisits/pvEdgeVisits/ownership), rootInfo (winrate, visits, weight,
+utility, currentPlayer, thisHash, symHash, and the raw net's
+rawStWrError/rawVarTimeLeft when a model is attached), and optionally
+policy / ownership / ownershipStdev (getAnalysisJson,
+searchresults.cpp:1809-2005).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import sys
@@ -38,9 +48,18 @@ import numpy as np
 
 from katacoffee_tpu import __version__ as VERSION
 from katacoffee_tpu.game import io as gio
-from katacoffee_tpu.game.board import GameConfig, GameState, init_state, step
-from katacoffee_tpu.search import mcts
+from katacoffee_tpu.game import symmetry as gsym
+from katacoffee_tpu.game.board import (
+    GameConfig,
+    GameState,
+    init_state,
+    situation_hash,
+    step,
+)
+from katacoffee_tpu.search import mcts, ownership
 from katacoffee_tpu.search.params import SearchParams
+
+_SP_FIELDS = frozenset(f.name for f in dataclasses.fields(SearchParams))
 
 
 def _parse_player(s: str) -> int:
@@ -95,11 +114,11 @@ class AnalysisEngine:
             self._eval_cache[cfg] = fn
         return fn
 
-    def _search_fn(self, cfg: GameConfig, batch: int, visits: int):
-        key = (cfg, batch, visits)
+    def _search_fn(self, cfg: GameConfig, batch: int, visits: int, sp: SearchParams):
+        key = (cfg, batch, visits, sp)
         fn = self._search_cache.get(key)
         if fn is None:
-            sp, ev = self.sp, self._eval_fn(cfg)
+            ev = self._eval_fn(cfg)
             fn = jax.jit(
                 lambda roots, rng, avoid: mcts.run_search(
                     cfg, sp, ev, roots, visits, rng, root_avoid=avoid
@@ -108,15 +127,15 @@ class AnalysisEngine:
             self._search_cache[key] = fn
         return fn
 
-    def _stream_fns(self, cfg: GameConfig, batch: int, max_visits: int):
+    def _stream_fns(self, cfg: GameConfig, batch: int, max_visits: int, sp: SearchParams):
         """(start, cont) jitted chunked-search pair for streaming queries
         (reportDuringSearchEvery): one compilation per node-capacity bucket
         serves every visit budget up to it (mcts.continue_search)."""
         cap = 1 << max(6, int(max_visits + 2 - 1).bit_length())
-        key = (cfg, batch, cap, "stream")
+        key = (cfg, batch, cap, sp, "stream")
         fns = self._search_cache.get(key)
         if fns is None:
-            sp, ev = self.sp, self._eval_fn(cfg)
+            ev = self._eval_fn(cfg)
 
             def start(roots, rng, avoid):
                 return mcts.run_search(
@@ -129,6 +148,52 @@ class AnalysisEngine:
             fns = (jax.jit(start), jax.jit(cont))
             self._search_cache[key] = fns
         return fns
+
+    def _query_params(self, query: dict) -> SearchParams:
+        """Per-query SearchParams: overrideSettings may set ANY field
+        (analysis.cpp applies Setup::loadParams over the per-query config;
+        unknown keys are an error per the reference), plus the two top-level
+        shorthands rootPolicyTemperature / rootFpuReductionMax."""
+        override = dict(query.get("overrideSettings") or {})
+        override.pop("maxVisits", None)  # handled as the visit budget
+        for k in ("rootPolicyTemperature", "rootFpuReductionMax"):
+            if k in query:
+                override[k] = query[k]
+        if not override:
+            return self.sp
+        bad = sorted(set(override) - _SP_FIELDS)
+        if bad:
+            raise ValueError(f"unknown overrideSettings key {bad[0]!r}")
+        from katacoffee_tpu.program.setup import load_search_params
+        from katacoffee_tpu.utils import ConfigParser
+
+        c = ConfigParser(
+            text="",
+            overrides={
+                k: (str(v).lower() if isinstance(v, bool) else str(v))
+                for k, v in override.items()
+            },
+        )
+        return load_search_params(c, self.sp)
+
+    def _root_hashes(self, cfg: GameConfig, state: GameState) -> tuple[str, str]:
+        """(thisHash, symHash) hex strings: the root situation hash and the
+        minimum over its dihedral orbit (searchresults.cpp:1944-1958)."""
+        fn = self._search_cache.get((cfg, "symhash"))
+        if fn is None:
+            nsym = gsym.num_symmetries(cfg)
+            fn = jax.jit(
+                lambda st: jnp.stack(
+                    [
+                        situation_hash(cfg, gsym.apply_state(cfg, s, st))
+                        for s in range(nsym)
+                    ]
+                )
+            )
+            self._search_cache[(cfg, "symhash")] = fn
+        hashes = np.asarray(fn(state))  # [nsym, 2] uint32
+        strs = [f"{int(h[0]):08X}{int(h[1]):08X}" for h in hashes]
+        return strs[0], min(strs)
 
     def _parse_restrictions(self, query: dict, cfg: GameConfig):
         """avoidMoves/allowMoves -> list of (player, avoid-mask[A]) root
@@ -188,6 +253,7 @@ class AnalysisEngine:
         max_visits = int(
             override.get("maxVisits", query.get("maxVisits", self.default_visits))
         )
+        sp_q = self._query_params(query)
         analyze_turns = query.get("analyzeTurns", [len(moves)])
 
         # build the position before each requested turn
@@ -243,19 +309,19 @@ class AnalysisEngine:
 
         report_every = query.get("reportDuringSearchEvery")
         if report_every is None:
-            tree = self._search_fn(cfg, len(live), max_visits)(
+            tree = self._search_fn(cfg, len(live), max_visits, sp_q)(
                 roots, self._next_key(), avoid_j
             )
             for i, t in enumerate(live):
                 results.append(
-                    self._extract(qid, t, cfg, tree, i, query, states_by_turn[t])
+                    self._extract(qid, t, cfg, tree, i, query, states_by_turn[t], sp_q)
                 )
             return results
 
         # ---- streaming: interim isDuringSearch=true reports per chunk ----
         def gen():
             yield from results
-            start, cont = self._stream_fns(cfg, len(live), max_visits)
+            start, cont = self._stream_fns(cfg, len(live), max_visits, sp_q)
             tree = start(roots, self._next_key(), avoid_j)
             done = 1
             vps = getattr(self, "_vps", 200.0)
@@ -271,13 +337,16 @@ class AnalysisEngine:
                 done = target
                 during = done <= max_visits
                 for i, t in enumerate(live):
-                    r = self._extract(qid, t, cfg, tree, i, query, states_by_turn[t])
+                    r = self._extract(
+                        qid, t, cfg, tree, i, query, states_by_turn[t], sp_q
+                    )
                     r["isDuringSearch"] = during
                     yield r
 
         return gen()
 
-    def _extract(self, qid, turn, cfg, tree, i, query, state) -> dict:
+    def _extract(self, qid, turn, cfg, tree, i, query, state, sp=None) -> dict:
+        sp = sp or self.sp
         children = np.asarray(tree.children[i])
         visits = np.asarray(tree.visits[i])
         edge_visits = np.asarray(tree.edge_visits[i])
@@ -288,6 +357,19 @@ class AnalysisEngine:
         wsq = np.asarray(tree.weight_sq_sum[i])
         prior = np.asarray(tree.root_prior[i])
 
+        # tree-averaged ownership maps, computed once per report when any
+        # ownership option is on and a model is attached (search/ownership.py)
+        own_maps = None
+        want_own = bool(query.get("includeOwnership"))
+        want_own_std = bool(query.get("includeOwnershipStdev"))
+        want_mv_own = bool(query.get("includeMovesOwnership"))
+        want_mv_std = bool(query.get("includeMovesOwnershipStdev"))
+        if want_own or want_own_std or want_mv_own or want_mv_std:
+            raw = self._raw_forward(cfg)
+            if raw is not None:
+                own_maps = ownership.node_ownership_maps(raw, tree, i)
+
+        pv_cap = int(query.get("analysisPVLen", 10))
         infos = []
         root_child = children[0]
         for a in np.where(root_child >= 0)[0]:
@@ -300,14 +382,14 @@ class AnalysisEngine:
             var = max(float(usq[ci]) - float(util[ci]) ** 2, 1e-8)
             w = float(wsum[ci]) * escale
             ess = w * w / max(float(wsq[ci]) * escale, 1e-12)
-            lcb_u = u - self.sp.lcbStdevs * (var / max(ess, 1.0)) ** 0.5
+            lcb_u = u - sp.lcbStdevs * (var / max(ess, 1.0)) ** 0.5
             # PV by max edge visits, with per-step node/edge visit counts
             # (searchresults.cpp:798-801 pvVisits/pvEdgeVisits)
             pv = [gio.action_to_compact(int(a), cfg)]
             pv_visits = [int(visits[ci])]
             pv_edge_visits = [v]
             node = int(ci)
-            for _ in range(10):
+            for _ in range(max(pv_cap - 1, 0)):
                 ch = children[node]
                 ev = edge_visits[node]
                 live_a = np.where((ch >= 0) & (ev > 0))[0]
@@ -321,43 +403,67 @@ class AnalysisEngine:
             info = {
                 "move": gio.action_to_compact(int(a), cfg),
                 "visits": v,
+                "weight": w,
                 "winrate": 0.5 * (1.0 - float(wl[ci])),
                 "prior": float(max(prior[a], 0.0)),
                 "lcb": 0.5 * (1.0 + lcb_u),
                 "utility": u,
+                "utilityLcb": lcb_u,
                 "pv": pv,
             }
             if query.get("includePVVisits"):
                 info["pvVisits"] = pv_visits
                 info["pvEdgeVisits"] = pv_edge_visits
+            if own_maps is not None and (want_mv_own or want_mv_std):
+                avg_m, std_m = ownership.tree_ownership(
+                    tree, i, own_maps, node=int(ci), want_stdev=want_mv_std
+                )
+                if want_mv_own:
+                    info["ownership"] = [float(x) for x in avg_m]
+                if want_mv_std:
+                    info["ownershipStdev"] = [float(x) for x in std_m]
             infos.append(info)
         infos.sort(key=lambda r: (-r["visits"], -r["utility"]))
         for order, r in enumerate(infos):
             r["order"] = order
 
         to_move = int(state.to_move)
+        this_hash, sym_hash = self._root_hashes(cfg, state)
+        root_info = {
+            "currentPlayer": "B" if to_move == 1 else "W",
+            "visits": int(visits[0]),
+            "weight": float(wsum[0]),
+            "winrate": 0.5 * (1.0 + float(wl[0])),
+            "utility": float(util[0]),
+            "thisHash": this_hash,
+            "symHash": sym_hash,
+        }
+        raw = self._raw_forward(cfg)
+        if raw is not None:
+            # the raw net's own root uncertainty heads
+            # (searchresults.cpp:1936-1942 rawStWrError/rawVarTimeLeft)
+            heads = raw(jax.tree_util.tree_map(lambda x: x[None], state))
+            root_info["rawStWrError"] = 0.5 * float(heads["shortterm_error"][0])
+            root_info["rawVarTimeLeft"] = float(heads["var_time_left"][0])
         result = {
             "id": qid,
             "turnNumber": turn,
             "isDuringSearch": False,
             "moveInfos": infos,
-            "rootInfo": {
-                "currentPlayer": "B" if to_move == 1 else "W",
-                "visits": int(visits[0]),
-                "winrate": 0.5 * (1.0 + float(wl[0])),
-                "utility": float(util[0]),
-            },
+            "rootInfo": root_info,
         }
         if query.get("includePolicy"):
             result["policy"] = [float(max(p, -1.0)) for p in prior]
-        if query.get("includeOwnership"):
-            raw = self._raw_forward(cfg)
-            if raw is not None:
-                # root-position net ownership, mover perspective, row-major
-                # like the reference's ownership array (tanh of the head)
-                heads = raw(jax.tree_util.tree_map(lambda x: x[None], state))
-                own = np.tanh(np.asarray(heads["ownership"][0]))
-                result["ownership"] = [float(v) for v in own.reshape(-1)]
+        if own_maps is not None and (want_own or want_own_std):
+            # tree-averaged ownership over the whole search, root-mover
+            # perspective, row-major (searchresults.cpp:1983-2000)
+            avg, std = ownership.tree_ownership(
+                tree, i, own_maps, node=0, want_stdev=want_own_std
+            )
+            if want_own:
+                result["ownership"] = [float(v) for v in avg]
+            if want_own_std:
+                result["ownershipStdev"] = [float(v) for v in std]
         return result
 
     # ------------------------------------------------------------------

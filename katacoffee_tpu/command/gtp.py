@@ -224,6 +224,9 @@ class GTPEngine:
         allow_mask = None
         maxmoves = 16
         ownership = False
+        ownership_stdev = False
+        moves_ownership = False
+        moves_ownership_stdev = False
         pv_visits = False
         pv_edge_visits = False
         A = self.cfg.policy_size
@@ -264,8 +267,17 @@ class GTPEngine:
             elif t == "pvedgevisits" and i + 1 < len(toks):
                 pv_edge_visits = toks[i + 1].lower() == "true"
                 i += 2
-            elif t in ("ownershipstdev", "movesownership", "rootinfo") and i + 1 < len(toks):
-                i += 2  # accepted, not reported (documented deviation)
+            elif t == "ownershipstdev" and i + 1 < len(toks):
+                ownership_stdev = toks[i + 1].lower() == "true"
+                i += 2
+            elif t == "movesownership" and i + 1 < len(toks):
+                moves_ownership = toks[i + 1].lower() == "true"
+                i += 2
+            elif t == "movesownershipstdev" and i + 1 < len(toks):
+                moves_ownership_stdev = toks[i + 1].lower() == "true"
+                i += 2
+            elif t == "rootinfo" and i + 1 < len(toks):
+                i += 2  # accepted, not reported (newer-KataGo option; N/A here)
             elif t.replace(".", "", 1).isdigit() and interval is None:
                 interval = float(t) / 100.0  # bare CENTISECONDS shorthand
                 i += 1
@@ -277,6 +289,9 @@ class GTPEngine:
         return {
             "pla": pla, "interval": interval, "avoid": avoid,
             "maxmoves": maxmoves, "ownership": ownership,
+            "ownership_stdev": ownership_stdev,
+            "moves_ownership": moves_ownership,
+            "moves_ownership_stdev": moves_ownership_stdev,
             "pv_visits": pv_visits, "pv_edge_visits": pv_edge_visits,
         }
 
@@ -314,13 +329,13 @@ class GTPEngine:
                 dt = time.monotonic() - t0
                 self.cpu_time += dt
                 self.time_controls[pla].update_after_move(dt)
-                own = self._ownership_suffix() if spec.get("ownership") else ""
-                return self._analyze_line(result, spec) + own + f"\nplay {gio.action_to_compact(action, self.cfg)}"
+                return self._analyze_response(
+                    result, spec, self.engine.last_tree
+                ) + f"\nplay {gio.action_to_compact(action, self.cfg)}"
             result = self.engine.analyze(
                 self.max_visits, max_moves=spec["maxmoves"], avoid=spec["avoid"]
             )
-            own = self._ownership_suffix() if spec.get("ownership") else ""
-            return self._analyze_line(result, spec) + own
+            return self._analyze_response(result, spec, self.engine.last_tree)
 
         # ---- streaming: write the GTP response directly ----
         outfile.write("=" + self._cmd_id + "\n")
@@ -345,11 +360,9 @@ class GTPEngine:
                 return True
             return False
 
-        own_suffix = self._ownership_suffix() if spec.get("ownership") else ""
-
         def report(tree, done):
             result = self.engine._extract_analysis(tree, max_moves=spec["maxmoves"])
-            outfile.write(self._analyze_line(result, spec) + own_suffix + "\n")
+            outfile.write(self._analyze_response(result, spec, tree) + "\n")
             outfile.flush()
 
         if genmove:
@@ -440,25 +453,57 @@ class GTPEngine:
             blocks.append("\n".join(out))
         return "\n\n".join(blocks)
 
-    def _ownership_suffix(self) -> str:
-        """' ownership v1 ... vN' from the net's root map (kata-analyze
-        ownership extension; mover perspective, row-major). Empty when no
-        model is attached."""
-        if self.raw_fwd is None:
+    def _tree_own_maps(self, tree) -> "np.ndarray | None":
+        """Per-node net ownership maps for the last search's tree (game 0),
+        root-mover perspective — None when no model is attached or no tree
+        is available (search/ownership.py)."""
+        if self.raw_fwd is None or tree is None:
+            return None
+        from katacoffee_tpu.search import ownership as town
+
+        return town.node_ownership_maps(self.raw_fwd, tree, 0)
+
+    def _ownership_suffix(self, spec: dict, tree, own_maps) -> str:
+        """' ownership v1..vN [ownershipStdev v1..vN]' — TREE-AVERAGED maps
+        (the reference's getAverageTreeOwnership, gtp.cpp:826-833 /
+        searchresults.cpp:1566-1612), root-mover perspective, row-major.
+        Empty when no model is attached."""
+        want = spec.get("ownership")
+        want_std = spec.get("ownership_stdev")
+        if not (want or want_std) or own_maps is None:
             return ""
-        import jax as _jax
+        from katacoffee_tpu.search import ownership as town
 
-        heads = self.raw_fwd(
-            _jax.tree_util.tree_map(lambda x: x[None], self.engine.state)
+        avg, std = town.tree_ownership(tree, 0, own_maps, 0, want_stdev=bool(want_std))
+        s = ""
+        if want:
+            s += " ownership " + " ".join(f"{v:.4f}" for v in avg)
+        if want_std:
+            s += " ownershipStdev " + " ".join(f"{v:.4f}" for v in std)
+        return s
+
+    def _analyze_response(self, result, spec: dict, tree=None) -> str:
+        """Full analyze report: info blocks + whole-search ownership suffix.
+        Computes the per-node ownership maps at most once per report."""
+        own_maps = None
+        if tree is not None and (
+            spec.get("ownership") or spec.get("ownership_stdev")
+            or spec.get("moves_ownership") or spec.get("moves_ownership_stdev")
+        ):
+            own_maps = self._tree_own_maps(tree)
+        return self._analyze_line(result, spec, tree, own_maps) + self._ownership_suffix(
+            spec, tree, own_maps
         )
-        own = np.tanh(np.asarray(heads["ownership"][0])).reshape(-1)
-        return " ownership " + " ".join(f"{v:.4f}" for v in own)
 
-    def _analyze_line(self, result, spec: dict | None = None) -> str:
-        """One `info` report in lz/kata-analyze format (gtp.cpp:784-809;
-        pvVisits/pvEdgeVisits per GTP_Extensions.md when requested)."""
+    def _analyze_line(self, result, spec: dict | None = None, tree=None, own_maps=None) -> str:
+        """One `info` report in lz/kata-analyze format (gtp.cpp:864-937;
+        utilityLcb/weight per the kata variant, pvVisits/pvEdgeVisits per
+        GTP_Extensions.md, movesOwnership[Stdev] = per-move subtree-averaged
+        ownership when requested)."""
         parts = []
         spec = spec or {}
+        want_mv = spec.get("moves_ownership")
+        want_mv_std = spec.get("moves_ownership_stdev")
         for mi in result.move_infos:
             mv = gio.action_to_compact(mi.action, self.cfg)
             pv = " ".join(
@@ -467,13 +512,24 @@ class GTPEngine:
             line = (
                 f"info move {mv} visits {mi.visits} "
                 f"winrate {mi.winrate:.6f} prior {mi.prior:.6f} lcb {max(min(mi.lcb*0.5+0.5,1.0),0.0):.6f} "
-                f"utility {mi.utility:.6f} order {mi.order} "
+                f"utility {mi.utility:.6f} utilityLcb {mi.lcb:.6f} "
+                f"weight {mi.weight:.3f} order {mi.order} "
                 f"pv {pv}"
             )
             if spec.get("pv_visits"):
                 line += " pvVisits " + " ".join(str(v) for v in mi.pv_visits)
             if spec.get("pv_edge_visits"):
                 line += " pvEdgeVisits " + " ".join(str(v) for v in mi.pv_edge_visits)
+            if own_maps is not None and (want_mv or want_mv_std) and mi.node >= 0:
+                from katacoffee_tpu.search import ownership as town
+
+                avg_m, std_m = town.tree_ownership(
+                    tree, 0, own_maps, node=mi.node, want_stdev=bool(want_mv_std)
+                )
+                if want_mv:
+                    line += " movesOwnership " + " ".join(f"{v:.4f}" for v in avg_m)
+                if want_mv_std:
+                    line += " movesOwnershipStdev " + " ".join(f"{v:.4f}" for v in std_m)
             parts.append(line)
         return " ".join(parts)
 

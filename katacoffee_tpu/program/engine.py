@@ -55,6 +55,11 @@ class MoveInfo:
     # pvEdgeVisits; emitted by the analysis engine under includePVVisits)
     pv_visits: list[int] = dataclasses.field(default_factory=list)
     pv_edge_visits: list[int] = dataclasses.field(default_factory=list)
+    # edge-scaled child weight (kata-analyze `weight`, gtp.cpp:878)
+    weight: float = 0.0
+    # the child's node slot in the search tree (for per-move subtree
+    # statistics such as movesOwnership)
+    node: int = -1
 
 
 @dataclasses.dataclass
@@ -89,6 +94,9 @@ class Engine:
         self._legal1 = jax.jit(functools.partial(legal_mask_flat, cfg))
         self._search_fns: dict[int, callable] = {}
         self.visits_per_second: float | None = None  # measured, for time controls
+        # the most recent search's tree ([1, N] arrays) — read by the GTP
+        # frontend for tree-averaged ownership right after a search
+        self.last_tree: mcts.Tree | None = None
         self.clear_board()
 
     # ------------------------------------------------------------------
@@ -99,6 +107,7 @@ class Engine:
         self.state: GameState = init_state(self.cfg)
         self.move_history: list[tuple[int, int, int, int]] = []  # (x, y, d, pla)
         self._state_stack: list[GameState] = []
+        self.last_tree = None
 
     def set_position(self, board: np.ndarray, to_move: int, last_move: tuple[int, int, int] | None = None):
         """Arbitrary position (GTP set_position / SGF placements). History
@@ -212,6 +221,7 @@ class Engine:
             return tree
         tree = self._get_search_fn(max_visits)(self.state, self._next_key())
         jax.block_until_ready(tree.visits)
+        self.last_tree = tree
         dt = max(time.monotonic() - t0, 1e-6)
         # update running visits/s (ignore compile-dominated first call)
         if max_visits >= 8 and self.visits_per_second is not None:
@@ -286,6 +296,7 @@ class Engine:
             elif added >= 8:
                 self.visits_per_second = added / dt
             done = target
+            self.last_tree = tree
             yield tree, done - 1
             if stop_check is not None and done <= max_visits:
                 if stop_check(tree, done - 1, max_visits + 1 - done):
@@ -424,6 +435,8 @@ class Engine:
                     pv=pv,
                     pv_visits=pv_visits,
                     pv_edge_visits=pv_edge_visits,
+                    weight=w,
+                    node=int(ci),
                 )
             )
         rows.sort(key=lambda r: (-r.visits, -r.utility))

@@ -63,10 +63,10 @@ def test_avoid_allow_respected():
 
 
 def test_include_ownership_with_model():
-    """includeOwnership emits the net's root ownership map (mover
-    perspective, tanh in [-1,1]) when a model is attached — the analysis
-    protocol's ownership field (Analysis_Engine.md; reference averages over
-    the tree, we report the root net's map, documented)."""
+    """includeOwnership emits the TREE-AVERAGED ownership map (root-mover
+    perspective, in [-1,1]) when a model is attached — the analysis
+    protocol's ownership field (Analysis_Engine.md; getAverageTreeOwnership
+    recomputed from the packed tree, search/ownership.py)."""
     import jax
 
     from katacoffee_tpu.game.board import GameConfig

@@ -548,14 +548,23 @@ class TestGTPStreamingAndAvoid:
         assert out[3].startswith("?")  # bad symmetry index
 
     def test_kata_analyze_ownership(self):
-        # `ownership true` appends H*W tanh'd values from the raw forward
-        # (gtp.cpp kata-analyze ownership extension)
+        # `ownership true` appends H*W tanh'd TREE-AVERAGED values
+        # (gtp.cpp:826-833 getAverageTreeOwnership). The stub encodes "white
+        # owns everything at logit 0.5" in each node's OWN mover perspective;
+        # the averaging must sign-align the per-node maps to the root mover
+        # (white after B C3), so every averaged value is exactly tanh(0.5).
         import re
 
         def stub_fwd(states):
             import jax.numpy as jnp
 
-            return {"ownership": jnp.full((1, CFG.y_size, CFG.x_size), 0.5)}
+            val = jnp.where(states.to_move == 2, 0.5, -0.5).astype(jnp.float32)
+            B = val.shape[0]
+            return {
+                "ownership": jnp.broadcast_to(
+                    val[:, None, None], (B, CFG.y_size, CFG.x_size)
+                )
+            }
 
         out = gtp_session(
             ["play B C3 north", "kata-analyze ownership true 1"],

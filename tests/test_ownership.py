@@ -1,0 +1,218 @@
+"""Tree-averaged ownership (search/ownership.py) — the reference's
+getAverageTreeOwnership / traverseTreeForOwnership
+(cpp/search/searchresults.cpp:1566-1745) recomputed from the packed tree
+arrays. Tier-1: the proportion recursion checked against hand-derived
+values on constructed trees; integration: analysis-engine and GTP
+kata-analyze surfaces."""
+
+import io
+
+import numpy as np
+import pytest
+
+from katacoffee_tpu.search.ownership import ownership_props
+
+
+def _mk(n, a=2):
+    children = np.full((n, a), -1, np.int32)
+    edge_visits = np.zeros((n, a), np.int32)
+    visits = np.zeros(n, np.int64)
+    weight_sum = np.zeros(n, np.float64)
+    self_weight = np.ones(n, np.float64)
+    is_terminal = np.zeros(n, bool)
+    return children, edge_visits, visits, weight_sum, self_weight, is_terminal
+
+
+def test_leaf_only():
+    arrs = _mk(1)
+    arrs[2][0] = 1  # visits
+    props = ownership_props(*arrs)
+    assert props[0] == pytest.approx(1.0)
+
+
+def test_two_level_hand_computed():
+    """Root with two children; hand-derive the reference formulas:
+    childWeight_i = weightSum_i * edge/childVisits; root keeps
+    selfW/(cwSum+selfW); children split the rest by cw^2."""
+    ch, ev, vis, ws, sw, term = _mk(3)
+    ch[0, 0], ch[0, 1] = 1, 2
+    ev[0, 0], ev[0, 1] = 6, 3
+    vis[:] = [10, 6, 3]
+    ws[:] = [10.0, 6.0, 3.0]
+    sw[:] = [1.0, 1.0, 1.0]
+    props = ownership_props(ch, ev, vis, ws, sw, term)
+    cw1, cw2 = 6.0, 3.0  # weightSum * edge/visits = full weights here
+    cw_sum, rel = cw1 + cw2, cw1**2 + cw2**2
+    root_self = 1.0 / (cw_sum + 1.0)
+    from_children = cw_sum / (cw_sum + 1.0)
+    d1 = cw1**2 / rel * from_children
+    d2 = cw2**2 / rel * from_children
+    # both children are themselves leaves -> they keep their full share
+    assert props[0] == pytest.approx(root_self)
+    assert props[1] == pytest.approx(d1)
+    assert props[2] == pytest.approx(d2)
+    assert props.sum() == pytest.approx(1.0)
+
+
+def test_terminal_child_returns_prop_to_parent():
+    """A terminal child has no NN map (the reference's nnOutput==NULL path,
+    searchresults.cpp:1627-1630): its proportion folds back into the
+    parent's own map."""
+    ch, ev, vis, ws, sw, term = _mk(2)
+    ch[0, 0] = 1
+    ev[0, 0] = 5
+    vis[:] = [6, 5]
+    ws[:] = [6.0, 5.0]
+    term[1] = True
+    props = ownership_props(ch, ev, vis, ws, sw, term)
+    assert props[0] == pytest.approx(1.0)
+    assert props[1] == 0.0
+
+
+def test_min_prop_cutoff_stops_descent():
+    """Nodes whose desiredProp falls below 0.5/visits^0.75 accumulate at
+    that depth rather than recursing (searchresults.cpp:1578-1581)."""
+    # a deep chain with a huge root visit count -> min_prop small, but make
+    # a tiny-weight side child whose share is below prune_prop -> absorbed
+    ch, ev, vis, ws, sw, term = _mk(3)
+    ch[0, 0], ch[0, 1] = 1, 2
+    ev[0, 0], ev[0, 1] = 10000, 1
+    vis[:] = [10001, 10000, 1]
+    ws[:] = [10001.0, 10000.0, 1e-7]
+    props = ownership_props(ch, ev, vis, ws, sw, term)
+    # side child's share ~ (1e-7)^2/rel -> far below pruneProp: dropped into
+    # the root's own proportion; everything still sums to 1
+    assert props[2] == 0.0
+    assert props.sum() == pytest.approx(1.0)
+
+
+def test_edge_scaling_under_transposition():
+    """childWeight uses edgeVisits/childVisits scaling (searchnode.h:59-64):
+    a transposed child visited mostly through another path contributes
+    proportionally to THIS edge's visits."""
+    ch, ev, vis, ws, sw, term = _mk(3)
+    ch[0, 0], ch[0, 1] = 1, 2
+    ev[0, 0], ev[0, 1] = 2, 4
+    vis[:] = [6, 8, 4]  # child 1 has 8 visits but only 2 through this edge
+    ws[:] = [6.0, 8.0, 4.0]
+    props = ownership_props(ch, ev, vis, ws, sw, term)
+    cw1 = 8.0 * 2 / 8  # = 2
+    cw2 = 4.0 * 4 / 4  # = 4
+    rel = cw1**2 + cw2**2
+    from_children = (cw1 + cw2) / (cw1 + cw2 + 1.0)
+    assert props[1] == pytest.approx(cw1**2 / rel * from_children)
+    assert props[2] == pytest.approx(cw2**2 / rel * from_children)
+
+
+# ---------------------------------------------------------------------------
+# integration: protocol surfaces
+# ---------------------------------------------------------------------------
+
+
+def _model_engine():
+    import jax
+
+    from katacoffee_tpu.command.analysis import AnalysisEngine
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.nn.configs import get_model_spec
+    from katacoffee_tpu.nn.model import CoffeeNet, init_params
+    from katacoffee_tpu.search import (
+        SearchParams,
+        make_nn_eval_fn,
+        make_raw_forward_fn,
+    )
+
+    CFG = GameConfig(5, 5, 4)
+    model = CoffeeNet(get_model_spec("b1c6"), win_len=4)
+    params = init_params(model, CFG, jax.random.PRNGKey(0))
+    return AnalysisEngine(
+        SearchParams(valueWeightExponent=0.0),
+        eval_fn_factory=lambda cfg: make_nn_eval_fn(cfg, model, params),
+        raw_forward_factory=lambda cfg: make_raw_forward_fn(cfg, model, params),
+        default_visits=8,
+    )
+
+
+def test_analysis_ownership_options():
+    eng = _model_engine()
+    res = eng.handle_query(
+        {
+            "id": "o",
+            "moves": [["B", "C3 N"]],
+            "maxVisits": 12,
+            "includeOwnership": True,
+            "includeOwnershipStdev": True,
+            "includeMovesOwnership": True,
+            "includeMovesOwnershipStdev": True,
+        }
+    )[0]
+    assert len(res["ownership"]) == 25
+    assert len(res["ownershipStdev"]) == 25
+    assert all(v >= 0.0 for v in res["ownershipStdev"])
+    for mi in res["moveInfos"]:
+        assert len(mi["ownership"]) == 25
+        assert len(mi["ownershipStdev"]) == 25
+        assert "weight" in mi and "utilityLcb" in mi
+    ri = res["rootInfo"]
+    for k in ("weight", "thisHash", "symHash", "rawStWrError", "rawVarTimeLeft"):
+        assert k in ri, k
+    # symHash is the orbit minimum, so it is <= thisHash as a hex string
+    assert ri["symHash"] <= ri["thisHash"]
+
+
+def test_analysis_override_settings_and_pvlen():
+    eng = _model_engine()
+    res = eng.handle_query(
+        {
+            "id": "q",
+            "maxVisits": 16,
+            "analysisPVLen": 1,
+            "overrideSettings": {"rootNoiseEnabled": True, "cpuctExploration": 0.5},
+        }
+    )[0]
+    assert all(len(mi["pv"]) <= 1 for mi in res["moveInfos"])
+    bad = eng.handle_query(
+        {"id": "q2", "maxVisits": 8, "overrideSettings": {"noSuchParam": 1}}
+    )
+    assert "error" in bad[0]
+    # top-level shorthands are accepted
+    res3 = eng.handle_query(
+        {"id": "q3", "maxVisits": 8, "rootPolicyTemperature": 1.4,
+         "rootFpuReductionMax": 0.0}
+    )[0]
+    assert res3["moveInfos"]
+
+
+def test_gtp_moves_ownership():
+    import jax
+
+    from katacoffee_tpu.command.gtp import GTPEngine
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.nn.configs import get_model_spec
+    from katacoffee_tpu.nn.model import CoffeeNet, init_params
+    from katacoffee_tpu.search import (
+        SearchParams,
+        make_nn_eval_fn,
+        make_raw_forward_fn,
+    )
+
+    CFG = GameConfig(5, 5, 4)
+    model = CoffeeNet(get_model_spec("b1c6"), win_len=4)
+    params = init_params(model, CFG, jax.random.PRNGKey(0))
+    g = GTPEngine(
+        CFG,
+        SearchParams(valueWeightExponent=0.0),
+        eval_fn=make_nn_eval_fn(CFG, model, params),
+        raw_fwd=make_raw_forward_fn(CFG, model, params),
+        max_visits=10,
+    )
+    resp, _ = g.handle(
+        "kata-analyze b maxmoves 2 ownership true ownershipStdev true "
+        "movesOwnership true"
+    )
+    assert " ownership " in resp
+    assert " ownershipStdev " in resp
+    assert " movesOwnership " in resp
+    assert " weight " in resp and " utilityLcb " in resp
+    own_vals = resp.split(" ownership ")[-1].split(" ownershipStdev ")[0].split()
+    assert len(own_vals) == 25
