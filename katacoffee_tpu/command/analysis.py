@@ -21,9 +21,14 @@ cached), avoidMoves/allowMoves (list of {player, moves, untilDepth} —
 applied as root restrictions per analysis.cpp:106-191; untilDepth beyond the
 root is out of scope for the batched search, documented deviation), and
 reportDuringSearchEvery (seconds — interim results stream with
-isDuringSearch=true between compiled search chunks). Actions: query_version,
-clear_cache, terminate/terminate_all (accepted; chunks are synchronous so
-there is nothing in flight to stop — documented deviation).
+isDuringSearch=true between compiled search chunks), and priority /
+priorities (pending queries pop highest-priority-first, FIFO within a
+priority; a multi-turn query schedules at its max per-turn priority since
+its turns run as one batched search). Actions: query_version, clear_cache,
+terminate/terminate_all (remove matching pending queries — each removed
+turn answers noResults=true — and stop a matching in-flight streamed query
+after its current chunk, reporting partial results; the action echoes back,
+Analysis_Engine.md:294-333).
 
 Result fields per turn: id, turnNumber, moveInfos (move, visits, weight,
 winrate, prior, lcb, utility, utilityLcb, order, pv, optional
@@ -222,8 +227,9 @@ class AnalysisEngine:
             self._eval_cache.clear()
             return [{"id": qid, "action": "clear_cache"}]
         if action in ("terminate", "terminate_all"):
-            # synchronous engine: queries finish before the next line is read
-            return [{"id": qid, "action": action}]
+            # when called directly (not through run()'s queue) there is
+            # nothing pending to stop; echo the query per the protocol
+            return [dict(query)]
         if qid is None:
             return [{"error": "missing id", "field": "id"}]
 
@@ -319,6 +325,8 @@ class AnalysisEngine:
             return results
 
         # ---- streaming: interim isDuringSearch=true reports per chunk ----
+        # every query concludes with exactly ONE isDuringSearch=false report
+        # per turn, even when terminated mid-search (Analysis_Engine.md:316)
         def gen():
             yield from results
             start, cont = self._stream_fns(cfg, len(live), max_visits, sp_q)
@@ -326,6 +334,11 @@ class AnalysisEngine:
             done = 1
             vps = getattr(self, "_vps", 200.0)
             while done <= max_visits:
+                poll = getattr(self, "_poll_input", None)
+                if poll is not None:
+                    poll()  # pick up terminate actions arriving mid-search
+                if getattr(self, "_current_terminated", False):
+                    break  # report partial results below
                 chunk = max(8, int(float(report_every) * vps))
                 target = min(done + chunk, max_visits + 1)
                 t0 = time.monotonic()
@@ -335,13 +348,17 @@ class AnalysisEngine:
                 vps = 0.7 * vps + 0.3 * ((target - done) / dt)
                 self._vps = vps
                 done = target
-                during = done <= max_visits
-                for i, t in enumerate(live):
-                    r = self._extract(
-                        qid, t, cfg, tree, i, query, states_by_turn[t], sp_q
-                    )
-                    r["isDuringSearch"] = during
-                    yield r
+                if done <= max_visits:
+                    for i, t in enumerate(live):
+                        r = self._extract(
+                            qid, t, cfg, tree, i, query, states_by_turn[t], sp_q
+                        )
+                        r["isDuringSearch"] = True
+                        yield r
+            for i, t in enumerate(live):
+                r = self._extract(qid, t, cfg, tree, i, query, states_by_turn[t], sp_q)
+                r["isDuringSearch"] = False
+                yield r
 
         return gen()
 
@@ -467,27 +484,157 @@ class AnalysisEngine:
         return result
 
     # ------------------------------------------------------------------
+    # query scheduling (the reference's priority-ordered analysis threads,
+    # analysis.cpp: highest `priority` first, FIFO within a priority; here a
+    # single worker pops from a heap, and available input is drained between
+    # queries / between streaming chunks so terminate actions take effect)
+    # ------------------------------------------------------------------
+
+    def _query_priority(self, query: dict, emit) -> int | None:
+        if query.get("action"):
+            return 0  # control actions keep FIFO order at default priority
+        prios = query.get("priorities")
+        if prios is not None:
+            turns = query.get("analyzeTurns")
+            if turns is None or len(prios) != len(turns):
+                emit({
+                    "id": query.get("id"),
+                    "error": "priorities must be the same length as analyzeTurns",
+                    "field": "priorities",
+                })
+                return None
+            # deviation: all turns of a query run as ONE batched search, so
+            # the query schedules at its highest per-turn priority
+            return int(max(prios))
+        return int(query.get("priority", 0))
+
+    def _apply_terminate(self, query: dict, pending: list, emit):
+        """terminate / terminate_all (Analysis_Engine.md:294-333): remove
+        matching pending queries (each removed turn answers with
+        noResults=true), flag a matching in-flight streamed query to stop
+        after its current chunk, and echo the action query back. A
+        turnNumbers restriction on the IN-FLIGHT query is ignored (its turns
+        are lanes of one batched search) — pending queries honor it."""
+        import heapq
+
+        action = query["action"]
+        tid = query.get("terminateId")
+        if action == "terminate" and tid is None:
+            emit({
+                "id": query.get("id"),
+                "error": "missing terminateId",
+                "field": "terminateId",
+            })
+            return
+        turns = query.get("turnNumbers")
+        turnset = set(turns) if turns is not None else None
+        kept = []
+        for item in pending:
+            q = item[2]
+            if action == "terminate" and q.get("id") != tid:
+                kept.append(item)
+                continue
+            qturns = q.get("analyzeTurns", [len(q.get("moves", []))])
+            cut = [t for t in qturns if turnset is None or t in turnset]
+            rest = [t for t in qturns if turnset is not None and t not in turnset]
+            for t in cut:
+                emit({
+                    "id": q.get("id"), "turnNumber": t,
+                    "isDuringSearch": False, "noResults": True,
+                })
+            if rest:
+                q2 = dict(q)
+                q2["analyzeTurns"] = rest
+                kept.append((item[0], item[1], q2))
+        pending[:] = kept
+        heapq.heapify(pending)
+        cur = getattr(self, "_current_qid", None)
+        if cur is not None and (action == "terminate_all" or cur == tid):
+            if turnset is None:
+                self._current_terminated = True
+        emit(dict(query))
 
     def run(self, infile=None, outfile=None):
+        import heapq
+        import select
+
         infile = infile or sys.stdin
         outfile = outfile or sys.stdout
-        for line in infile:
+
+        def emit(obj):
+            outfile.write(json.dumps(obj) + "\n")
+            outfile.flush()
+
+        pending: list = []
+        seq = 0
+        interactive = infile is sys.stdin
+        eof = False
+        self._current_qid = None
+        self._current_terminated = False
+
+        def ingest(line: str):
+            nonlocal seq
             line = line.strip()
             if not line:
-                continue
+                return
             try:
                 query = json.loads(line)
             except json.JSONDecodeError as e:
-                outfile.write(json.dumps({"error": f"bad json: {e}"}) + "\n")
-                outfile.flush()
-                continue
+                emit({"error": f"bad json: {e}"})
+                return
+            if query.get("action") in ("terminate", "terminate_all"):
+                self._apply_terminate(query, pending, emit)
+                return
+            prio = self._query_priority(query, emit)
+            if prio is None:
+                return
+            heapq.heappush(pending, (-prio, seq, query))
+            seq += 1
+
+        def drain_available():
+            nonlocal eof
+            if not interactive or eof:
+                return
+            try:
+                while select.select([infile], [], [], 0)[0]:
+                    line = infile.readline()
+                    if line == "":
+                        eof = True
+                        return
+                    ingest(line)
+            except (OSError, ValueError):
+                pass
+
+        if not interactive:
+            # scripts/files: ingest everything up front so priorities order
+            # the whole batch of queries (deterministic, like the reference
+            # queueing faster than its analysis threads drain)
+            for line in infile:
+                ingest(line)
+
+        while True:
+            drain_available()
+            if not pending:
+                if interactive and not eof:
+                    line = infile.readline()  # block for more input
+                    if line == "":
+                        eof = True
+                        continue
+                    ingest(line)
+                    continue
+                break
+            _, _, query = heapq.heappop(pending)
+            self._current_qid = query.get("id")
+            self._current_terminated = False
+            self._poll_input = drain_available
             try:
                 for result in self.handle_query(query):
-                    outfile.write(json.dumps(result) + "\n")
-                    outfile.flush()
+                    emit(result)
             except (ValueError, KeyError, IndexError) as e:
-                outfile.write(json.dumps({"id": query.get("id"), "error": str(e)}) + "\n")
-            outfile.flush()
+                emit({"id": query.get("id"), "error": str(e)})
+            finally:
+                self._current_qid = None
+                self._poll_input = None
 
 
 def main(argv, search_params=None, eval_fn_factory=None, **kw):

@@ -216,3 +216,73 @@ def test_gtp_moves_ownership():
     assert " weight " in resp and " utilityLcb " in resp
     own_vals = resp.split(" ownership ")[-1].split(" ownershipStdev ")[0].split()
     assert len(own_vals) == 25
+
+
+# ---------------------------------------------------------------------------
+# analysis scheduling: priority ordering + terminate (Analysis_Engine.md)
+# ---------------------------------------------------------------------------
+
+
+def _run_lines(lines):
+    import json
+
+    from katacoffee_tpu.command.analysis import AnalysisEngine
+    from katacoffee_tpu.search import SearchParams
+
+    eng = AnalysisEngine(SearchParams(valueWeightExponent=0.0), default_visits=8)
+    out = io.StringIO()
+    eng.run(io.StringIO("\n".join(lines) + "\n"), out)
+    return [json.loads(l) for l in out.getvalue().splitlines()]
+
+
+def test_priority_orders_pending_queries():
+    res = _run_lines([
+        '{"id":"low","maxVisits":4}',
+        '{"id":"high","maxVisits":4,"priority":5}',
+        '{"id":"mid","maxVisits":4,"priority":2}',
+    ])
+    order = [r["id"] for r in res if "moveInfos" in r]
+    assert order == ["high", "mid", "low"]
+
+
+def test_priorities_list_and_mismatch():
+    res = _run_lines([
+        '{"id":"p","moves":[["B","C3 N"]],"analyzeTurns":[0,1],"priorities":[1,7],"maxVisits":4}',
+        '{"id":"bad","analyzeTurns":[0],"priorities":[1,2],"maxVisits":4}',
+        '{"id":"plain","maxVisits":4}',
+    ])
+    errs = [r for r in res if "error" in r]
+    assert errs and errs[0]["id"] == "bad" and errs[0]["field"] == "priorities"
+    # "p" (priority 7) runs before "plain" (priority 0)
+    order = [r["id"] for r in res if "moveInfos" in r]
+    assert order.index("p") < order.index("plain")
+
+
+def test_terminate_pending_query():
+    res = _run_lines([
+        '{"id":"keep","maxVisits":4}',
+        '{"id":"doomed","moves":[["B","C3 N"]],"analyzeTurns":[0,1],"maxVisits":4}',
+        '{"id":"t1","action":"terminate","terminateId":"doomed"}',
+    ])
+    nores = [r for r in res if r.get("noResults")]
+    assert {(r["id"], r["turnNumber"]) for r in nores} == {("doomed", 0), ("doomed", 1)}
+    assert all(not r["isDuringSearch"] for r in nores)
+    # the action echoes back verbatim
+    echo = [r for r in res if r.get("action") == "terminate"]
+    assert echo and echo[0]["terminateId"] == "doomed" and echo[0]["id"] == "t1"
+    # the doomed query never produces real results; keep does
+    assert not any("moveInfos" in r and r["id"] == "doomed" for r in res)
+    assert any("moveInfos" in r and r["id"] == "keep" for r in res)
+
+
+def test_terminate_turn_subset_and_missing_id():
+    res = _run_lines([
+        '{"id":"q","moves":[["B","C3 N"]],"analyzeTurns":[0,1],"maxVisits":4}',
+        '{"id":"t","action":"terminate","terminateId":"q","turnNumbers":[0]}',
+        '{"id":"t2","action":"terminate"}',
+    ])
+    nores = [(r["id"], r["turnNumber"]) for r in res if r.get("noResults")]
+    assert nores == [("q", 0)]
+    # turn 1 still analyzed
+    assert any("moveInfos" in r and r["id"] == "q" and r["turnNumber"] == 1 for r in res)
+    assert any(r.get("field") == "terminateId" for r in res)
