@@ -10,7 +10,7 @@ search call — cross-position batching by construction (SURVEY.md §2.8 P2/P3).
 Query fields supported (reference names): id, moves (["B","C3 NW"] pairs —
 Coffee locations are "<spot> <direction>" or compact "C3NW"), initialStones,
 initialPlayer, boardXSize, boardYSize, rules ("coffee" or {"winLen": k}),
-analyzeTurns, maxVisits, priority (accepted), analysisPVLen,
+analyzeTurns, maxVisits, analysisPVLen,
 includeOwnership / includeOwnershipStdev / includeMovesOwnership /
 includeMovesOwnershipStdev (tree-averaged maps, search/ownership.py),
 includePolicy, includePVVisits (adds pvVisits/pvEdgeVisits per moveInfo,
@@ -320,7 +320,9 @@ class AnalysisEngine:
             )
             for i, t in enumerate(live):
                 results.append(
-                    self._extract(qid, t, cfg, tree, i, query, states_by_turn[t], sp_q)
+                    self._extract(
+                        qid, t, cfg, tree, i, query, states_by_turn[t], sp_q, avoid[i]
+                    )
                 )
             return results
 
@@ -351,18 +353,73 @@ class AnalysisEngine:
                 if done <= max_visits:
                     for i, t in enumerate(live):
                         r = self._extract(
-                            qid, t, cfg, tree, i, query, states_by_turn[t], sp_q
+                            qid, t, cfg, tree, i, query, states_by_turn[t], sp_q,
+                            avoid[i],
                         )
                         r["isDuringSearch"] = True
                         yield r
             for i, t in enumerate(live):
-                r = self._extract(qid, t, cfg, tree, i, query, states_by_turn[t], sp_q)
+                r = self._extract(
+                    qid, t, cfg, tree, i, query, states_by_turn[t], sp_q, avoid[i]
+                )
                 r["isDuringSearch"] = False
                 yield r
 
         return gen()
 
-    def _extract(self, qid, turn, cfg, tree, i, query, state, sp=None) -> dict:
+    def _dup_infos(self, infos, cfg, state, avoid_row, sp):
+        """Re-expand analysis rows over the root stabilizer when
+        rootSymmetryPruning concentrated the search on orbit representatives
+        (getAnalysisData duplicateForSymmetries, searchresults.cpp:986-1015):
+        duplicates carry isSymmetryOf, symmetry-mapped PVs and per-move
+        ownership maps; avoided moves are skipped."""
+        if not sp.rootSymmetryPruning or not infos:
+            return infos
+        stab = gsym.stabilizer(cfg, state)
+        if len(stab) <= 1:
+            return infos
+        table = gsym.action_table(cfg)
+
+        def act(ms: str) -> int:
+            x, y, d = gio.parse_loc(ms, cfg)
+            return d * cfg.area + y * cfg.x_size + x
+
+        done: set[int] = set()
+        out = []
+        for info in infos:
+            a0 = act(info["move"])
+            for s in stab:
+                sa = int(table[s, a0])
+                if sa in done:
+                    continue
+                if avoid_row is not None and bool(avoid_row[sa]):
+                    continue
+                done.add(sa)
+                if s == 0:
+                    out.append(info)
+                    continue
+                d2 = dict(info)
+                d2["move"] = gio.action_to_compact(sa, cfg)
+                d2["pv"] = [
+                    gio.action_to_compact(int(table[s, act(m)]), cfg)
+                    for m in info["pv"]
+                ]
+                d2["isSymmetryOf"] = info["move"]
+                shape = (cfg.y_size, cfg.x_size)
+                for k in ("ownership", "ownershipStdev"):
+                    if k in info:
+                        d2[k] = [
+                            float(v)
+                            for v in np.asarray(
+                                gsym.apply_plane(s, np.asarray(info[k]).reshape(shape))
+                            ).reshape(-1)
+                        ]
+                out.append(d2)
+        return out
+
+    def _extract(
+        self, qid, turn, cfg, tree, i, query, state, sp=None, avoid_row=None
+    ) -> dict:
         sp = sp or self.sp
         children = np.asarray(tree.children[i])
         visits = np.asarray(tree.visits[i])
@@ -441,6 +498,7 @@ class AnalysisEngine:
                     info["ownershipStdev"] = [float(x) for x in std_m]
             infos.append(info)
         infos.sort(key=lambda r: (-r["visits"], -r["utility"]))
+        infos = self._dup_infos(infos, cfg, state, avoid_row, sp)
         for order, r in enumerate(infos):
             r["order"] = order
 

@@ -21,6 +21,14 @@ def main(argv, **kw):
     ap.add_argument("-move-num", type=int, default=-1, help="analyze before this move (default: end)")
     ap.add_argument("-visits", type=int, default=400)
     ap.add_argument("-model", default=None)
+    ap.add_argument(
+        "-print-tree-depth", type=int, default=0,
+        help="dump the search tree to this depth (evalsgf.cpp printTree role)",
+    )
+    ap.add_argument(
+        "-print-branch", default=None,
+        help="space-separated moves (e.g. 'C3N C4N') to descend before dumping",
+    )
     args = ap.parse_args(argv)
 
     sgf = parse_sgf_file(args.sgf)
@@ -56,3 +64,13 @@ def main(argv, **kw):
             f"  {mi.move:16s} v={mi.visits:6d} wr={mi.winrate:.3f} "
             f"prior={mi.prior:.3f} lcb={mi.lcb:+.3f} pv: {' -> '.join(mi.pv[:6])}"
         )
+    if args.print_tree_depth > 0 or args.print_branch:
+        from katacoffee_tpu.game import io as gio
+
+        branch = None
+        if args.print_branch:
+            branch = []
+            for ms in args.print_branch.split():
+                bx, by, bd = gio.parse_loc(ms, cfg)
+                branch.append(bd * cfg.area + by * cfg.x_size + bx)
+        print(eng.print_tree(max_depth=max(args.print_tree_depth, 1), branch=branch))

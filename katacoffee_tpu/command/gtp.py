@@ -211,6 +211,9 @@ class GTPEngine:
                     f"prior={mi.prior:.3f} pv={' '.join(mi.pv)}",
                     file=sys.stderr,
                 )
+            # recursive tree dump (the reference's printTree behind
+            # genmove_debug/search_debug, gtp.cpp searchPrint role)
+            print(self.engine.print_tree(max_depth=2), file=sys.stderr)
         return gio.action_to_string(action, self.cfg)
 
     def _parse_analyze_args(self, args: list[str]) -> dict:
@@ -361,7 +364,9 @@ class GTPEngine:
             return False
 
         def report(tree, done):
-            result = self.engine._extract_analysis(tree, max_moves=spec["maxmoves"])
+            result = self.engine._extract_analysis(
+                tree, max_moves=spec["maxmoves"], avoid=spec["avoid"]
+            )
             outfile.write(self._analyze_response(result, spec, tree) + "\n")
             outfile.flush()
 
@@ -509,11 +514,17 @@ class GTPEngine:
             pv = " ".join(
                 gio.loc_to_compact(*gio.parse_loc(m, self.cfg), self.cfg) for m in mi.pv
             )
+            sym_of = (
+                " isSymmetryOf "
+                + gio.loc_to_compact(*gio.parse_loc(mi.is_symmetry_of, self.cfg), self.cfg)
+                if mi.is_symmetry_of
+                else ""
+            )
             line = (
                 f"info move {mv} visits {mi.visits} "
                 f"winrate {mi.winrate:.6f} prior {mi.prior:.6f} lcb {max(min(mi.lcb*0.5+0.5,1.0),0.0):.6f} "
                 f"utility {mi.utility:.6f} utilityLcb {mi.lcb:.6f} "
-                f"weight {mi.weight:.3f} order {mi.order} "
+                f"weight {mi.weight:.3f}{sym_of} order {mi.order} "
                 f"pv {pv}"
             )
             if spec.get("pv_visits"):
@@ -526,6 +537,19 @@ class GTPEngine:
                 avg_m, std_m = town.tree_ownership(
                     tree, 0, own_maps, node=mi.node, want_stdev=bool(want_mv_std)
                 )
+                if mi.symmetry:
+                    # duplicated row: its map is the original subtree's map
+                    # transformed by the duplicating symmetry
+                    from katacoffee_tpu.game import symmetry as S
+
+                    shape = (self.cfg.y_size, self.cfg.x_size)
+                    avg_m = np.asarray(
+                        S.apply_plane(mi.symmetry, avg_m.reshape(shape))
+                    ).reshape(-1)
+                    if std_m is not None:
+                        std_m = np.asarray(
+                            S.apply_plane(mi.symmetry, std_m.reshape(shape))
+                        ).reshape(-1)
                 if want_mv:
                     line += " movesOwnership " + " ".join(f"{v:.4f}" for v in avg_m)
                 if want_mv_std:

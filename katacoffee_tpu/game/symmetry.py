@@ -173,3 +173,32 @@ def apply_state(cfg: GameConfig, sym: int, state: GameState) -> GameState:
 
 def random_symmetry(key: jax.Array) -> jax.Array:
     return jax.random.randint(key, (), 0, NUM_SYMMETRIES)
+
+
+def stabilizer(cfg: GameConfig, state: GameState) -> list[int]:
+    """Host-side: the symmetries that fix a position (board + lastLoc) —
+    the root stabilizer subgroup that rootSymmetryPruning prunes by and
+    that analysis-row duplication re-expands by (the reference's
+    rootSymmetries, searchresults.cpp:986-1012). Always contains 0."""
+    board = np.asarray(state.board)
+    last_spot = int(state.last_spot)
+    last_dir = int(state.last_dir)
+    syms = []
+    for s in range(num_symmetries(cfg)):
+        ts = apply_state(cfg, s, state)
+        if not (np.asarray(ts.board) == board).all():
+            continue
+        if last_spot >= 0 and (
+            int(ts.last_spot) != last_spot or int(ts.last_dir) != last_dir
+        ):
+            continue
+        syms.append(s)
+    return syms
+
+
+def action_table(cfg: GameConfig):
+    """[nsym, A] int32 numpy table of each flat action's image under each
+    dihedral symmetry (cached)."""
+    from katacoffee_tpu.search.mcts import _sym_action_table
+
+    return _sym_action_table(cfg)

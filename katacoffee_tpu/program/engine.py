@@ -60,6 +60,11 @@ class MoveInfo:
     # the child's node slot in the search tree (for per-move subtree
     # statistics such as movesOwnership)
     node: int = -1
+    # under rootSymmetryPruning, rows are re-expanded over the root
+    # stabilizer: a duplicate names its searched original and the symmetry
+    # that maps original -> this move (searchresults.cpp:986-1012)
+    is_symmetry_of: str | None = None
+    symmetry: int = 0
 
 
 @dataclasses.dataclass
@@ -348,7 +353,7 @@ class Engine:
             if on_report is not None:
                 on_report(tree, done)
         action = int(mcts.select_moves(self.cfg, self.sp, tree, self._next_key())[0])
-        result = self._extract_analysis(tree)
+        result = self._extract_analysis(tree, avoid=avoid)
         if play:
             area = self.cfg.area
             d, spot = action // area, action % area
@@ -363,7 +368,7 @@ class Engine:
         `avoid` masks root moves (genmove_analyze avoid/allow)."""
         tree = self.search(max_visits, avoid=avoid)
         action = int(mcts.select_moves(self.cfg, self.sp, tree, self._next_key())[0])
-        result = self._extract_analysis(tree)
+        result = self._extract_analysis(tree, avoid=avoid)
         if play:
             area = self.cfg.area
             d, spot = action // area, action % area
@@ -378,13 +383,13 @@ class Engine:
         avoid: np.ndarray | None = None,
     ) -> AnalysisResult:
         tree = self.search(max_visits, avoid=avoid)
-        return self._extract_analysis(tree, max_moves=max_moves, pv_len=pv_len)
+        return self._extract_analysis(tree, max_moves=max_moves, pv_len=pv_len, avoid=avoid)
 
     # ------------------------------------------------------------------
     # Analysis extraction (searchresults.cpp getAnalysisData equivalents)
     # ------------------------------------------------------------------
 
-    def _extract_analysis(self, tree: mcts.Tree, max_moves: int = 16, pv_len: int = 8) -> AnalysisResult:
+    def _extract_analysis(self, tree: mcts.Tree, max_moves: int = 16, pv_len: int = 8, avoid: np.ndarray | None = None) -> AnalysisResult:
         cfg = self.cfg
         children = np.asarray(tree.children[0])  # [N, A]
         visits = np.asarray(tree.visits[0])  # [N]
@@ -440,6 +445,7 @@ class Engine:
                 )
             )
         rows.sort(key=lambda r: (-r.visits, -r.utility))
+        rows = self._duplicate_for_symmetries(rows, avoid)
         for i, r in enumerate(rows):
             r.order = i
         return AnalysisResult(
@@ -449,6 +455,122 @@ class Engine:
             root_utility=float(util[0]),
             move_infos=rows[:max_moves],
         )
+
+    def print_tree(
+        self,
+        tree: mcts.Tree | None = None,
+        max_depth: int = 3,
+        min_visits: int = 1,
+        max_children: int = 10,
+        branch: list[int] | None = None,
+    ) -> str:
+        """Recursive search-tree dump — the role of the reference's
+        Search::printTree (searchresults.cpp:1032+), behind evalsgf
+        -print-tree-depth/-print-branch and GTP genmove_debug/search_debug.
+        Per node: move, edge/node visits, winrate and utility from the ROOT
+        player's perspective, prior, weight sum; children sorted by edge
+        visits. `branch` descends along the given flat actions first."""
+        tree = tree if tree is not None else self.last_tree
+        if tree is None:
+            return "(no search tree)"
+        cfg = self.cfg
+        children = np.asarray(tree.children[0])
+        edge_visits = np.asarray(tree.edge_visits[0])
+        visits = np.asarray(tree.visits[0])
+        wl = np.asarray(tree.wl_avg[0])
+        util = np.asarray(tree.utility_avg[0])
+        wsum = np.asarray(tree.weight_sum[0])
+        prior = np.asarray(tree.prior[0])  # [N, A]
+
+        node, sign = 0, 1.0  # sign: +1 when node mover == root mover
+        lines = []
+        if branch:
+            for a in branch:
+                ci = int(children[node][a])
+                if ci < 0:
+                    return f"(branch move {gio.action_to_string(int(a), cfg)} not in tree)"
+                lines.append(f"branch: {gio.action_to_string(int(a), cfg)}")
+                node, sign = ci, -sign
+
+        def node_line(nd, s, label, edge_v):
+            w = 0.5 * (1.0 + s * float(wl[nd]))
+            u = s * float(util[nd])
+            return (
+                f"{label} v={edge_v}/{int(visits[nd])} wr={w:.3f} "
+                f"u={u:+.3f} w={float(wsum[nd]):.1f}"
+            )
+
+        lines.append(node_line(node, sign, "root:", int(visits[node])))
+
+        def recurse(nd, s, depth, indent):
+            if depth >= max_depth:
+                return
+            ev = edge_visits[nd]
+            ch = children[nd]
+            live = np.nonzero((ch >= 0) & (ev >= min_visits) & (ev > 0))[0]
+            order = live[np.argsort(-ev[live], kind="stable")][:max_children]
+            pr = prior[nd]
+            for a in order:
+                ci = int(ch[a])
+                mv = gio.action_to_string(int(a), cfg)
+                p = max(float(pr[a]), 0.0)
+                lines.append(
+                    node_line(ci, -s, f"{indent}{mv:14s}", int(ev[a]))
+                    + f" p={p:.3f}"
+                )
+                recurse(ci, -s, depth + 1, indent + "  ")
+
+        recurse(node, sign, 0, "  ")
+        return "\n".join(lines)
+
+    def _duplicate_for_symmetries(
+        self, rows: list[MoveInfo], avoid: np.ndarray | None
+    ) -> list[MoveInfo]:
+        """Under rootSymmetryPruning, the search only visits one move per
+        root-stabilizer orbit; re-expand the analysis rows over the orbit so
+        consumers see every equivalent move, tagging duplicates with
+        isSymmetryOf (getAnalysisData duplicateForSymmetries,
+        searchresults.cpp:986-1015). Originals claim their orbit first (rows
+        arrive sorted), PVs are symmetry-mapped, avoided moves skipped."""
+        if not self.sp.rootSymmetryPruning or not rows:
+            return rows
+        from katacoffee_tpu.game import symmetry as S
+
+        stab = S.stabilizer(self.cfg, self.state)
+        if len(stab) <= 1:
+            return rows
+        table = S.action_table(self.cfg)  # [nsym, A]
+        cfg = self.cfg
+
+        def map_move_str(ms: str, s: int) -> str:
+            x, y, d = gio.parse_loc(ms, cfg)
+            a2 = int(table[s, d * cfg.area + y * cfg.x_size + x])
+            return gio.action_to_string(a2, cfg)
+
+        done: set[int] = set()
+        out: list[MoveInfo] = []
+        for mi in rows:
+            for s in stab:
+                sym_a = int(table[s, mi.action])
+                if sym_a in done:
+                    continue
+                if avoid is not None and bool(np.asarray(avoid)[sym_a]):
+                    continue
+                done.add(sym_a)
+                if s == 0:
+                    out.append(mi)
+                    continue
+                out.append(
+                    dataclasses.replace(
+                        mi,
+                        action=sym_a,
+                        move=gio.action_to_string(sym_a, cfg),
+                        pv=[map_move_str(m, s) for m in mi.pv],
+                        is_symmetry_of=mi.move,
+                        symmetry=s,
+                    )
+                )
+        return out
 
     def _pv(
         self,

@@ -312,8 +312,9 @@ class TestAnalysisEngine:
         out = io.StringIO()
         eng.run(inp, out)
         lines = [json.loads(l) for l in out.getvalue().splitlines()]
-        assert lines[0]["id"] == "a"
-        assert "error" in lines[1]
+        # malformed lines error at ingest (before queued queries run)
+        assert any("error" in l and "bad json" in l["error"] for l in lines)
+        assert any(l.get("id") == "a" and "moveInfos" in l for l in lines)
 
 
 class TestMatch:

@@ -286,3 +286,79 @@ def test_terminate_turn_subset_and_missing_id():
     # turn 1 still analyzed
     assert any("moveInfos" in r and r["id"] == "q" and r["turnNumber"] == 1 for r in res)
     assert any(r.get("field") == "terminateId" for r in res)
+
+
+# ---------------------------------------------------------------------------
+# symmetry duplication of analysis rows (duplicateForSymmetries,
+# searchresults.cpp:986-1015)
+# ---------------------------------------------------------------------------
+
+
+def test_analysis_symmetry_duplication():
+    """On the empty 5x5 board the full dihedral-8 group stabilizes the root;
+    with rootSymmetryPruning the search visits only orbit representatives and
+    the analysis re-expands each row over its orbit with isSymmetryOf."""
+    import json
+
+    from katacoffee_tpu.command.analysis import AnalysisEngine
+    from katacoffee_tpu.search import SearchParams
+
+    eng = AnalysisEngine(
+        SearchParams(valueWeightExponent=0.0, rootSymmetryPruning=True),
+        default_visits=16,
+    )
+    res = eng.handle_query({"id": "s", "maxVisits": 16})[0]
+    infos = res["moveInfos"]
+    dups = [mi for mi in infos if "isSymmetryOf" in mi]
+    origs = {mi["move"] for mi in infos if "isSymmetryOf" not in mi}
+    assert dups, "expected symmetric duplicates on the empty board"
+    for d in dups:
+        assert d["isSymmetryOf"] in origs
+        orig = next(m for m in infos if m["move"] == d["isSymmetryOf"])
+        assert d["visits"] == orig["visits"]
+        assert d["winrate"] == orig["winrate"]
+        assert len(d["pv"]) == len(orig["pv"])
+    # orders are consecutive over the expanded list
+    assert [mi["order"] for mi in infos] == list(range(len(infos)))
+    # after a center move the stabilizer shrinks but search still works
+    res2 = eng.handle_query(
+        {"id": "s2", "moves": [["B", "C3 N"]], "maxVisits": 16}
+    )[0]
+    assert res2["moveInfos"]
+
+
+def test_gtp_analyze_symmetry_duplication():
+    from katacoffee_tpu.command.gtp import GTPEngine
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.search import SearchParams
+
+    g = GTPEngine(
+        GameConfig(5, 5, 4),
+        SearchParams(valueWeightExponent=0.0, rootSymmetryPruning=True),
+        max_visits=16,
+    )
+    resp, _ = g.handle("kata-analyze maxmoves 100")
+    assert " isSymmetryOf " in resp
+
+
+def test_print_tree_dump():
+    """Engine.print_tree (the printTree role): root line + indented children
+    with root-perspective values, branch descent errors on unvisited moves."""
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.program.engine import Engine
+    from katacoffee_tpu.search import SearchParams
+
+    eng = Engine(GameConfig(5, 5, 4), SearchParams(valueWeightExponent=0.0))
+    eng.analyze(16)
+    dump = eng.print_tree(max_depth=2)
+    lines = dump.splitlines()
+    assert lines[0].startswith("root: v=")
+    assert len(lines) > 1 and lines[1].startswith("  ")
+    assert " wr=" in lines[1] and " p=" in lines[1]
+    # branch descent to a visited child works
+    from katacoffee_tpu.game import io as gio
+
+    x, y, d = gio.parse_loc(lines[1].strip().split(" v=")[0].strip(), eng.cfg)
+    a = d * eng.cfg.area + y * eng.cfg.x_size + x
+    sub = eng.print_tree(max_depth=1, branch=[a])
+    assert sub.splitlines()[0].startswith("branch:")
