@@ -5,7 +5,11 @@ The frontend role of the reference's `cpp/command/analysis.cpp` (protocol
 results on stdout. Where the reference achieves cross-position batching with
 `numAnalysisThreads` CPU threads feeding a shared NN server, here the
 positions of a query's `analyzeTurns` form the batch axis of ONE jitted
-search call — cross-position batching by construction (SURVEY.md §2.8 P2/P3).
+search call, and the queue worker additionally merges COMPATIBLE pending
+queries (same board/rules, visit budget and resolved SearchParams;
+non-streaming) into that one call, padding the lane count to a power of two
+so repeat traffic reuses a handful of compiled shapes — cross-position AND
+cross-query batching by construction (SURVEY.md §2.8 P2/P3).
 
 Query fields supported (reference names): id, moves (["B","C3 NW"] pairs —
 Coffee locations are "<spot> <direction>" or compact "C3NW"), initialStones,
@@ -98,6 +102,8 @@ class AnalysisEngine:
         self._eval_cache: dict[GameConfig, mcts.EvalFn] = {}
         self._raw_cache: dict[GameConfig, callable] = {}
         self._rng = jax.random.PRNGKey(0)
+        # device-call counter (observability + tests of cross-query batching)
+        self.num_search_calls = 0
 
     def _raw_forward(self, cfg: GameConfig):
         if self.raw_forward_factory is None:
@@ -238,7 +244,31 @@ class AnalysisEngine:
         except (ValueError, KeyError, IndexError) as e:
             return [{"id": qid, "error": str(e)}]
 
-    def _analyze_query(self, query: dict) -> list[dict]:
+    def _batch_compatible(self, query: dict, key0: tuple) -> bool:
+        """Cheap pre-check (no position replay): can `query` share one
+        batched device call with a query of batch key `key0`? Compatible =
+        same board/rules config, visit budget, and resolved SearchParams,
+        and not a streaming query."""
+        if query.get("action") or query.get("reportDuringSearchEvery") is not None:
+            return False
+        try:
+            rules = query.get("rules", "coffee")
+            win_len = int(rules.get("winLen", 4)) if isinstance(rules, dict) else 4
+            if isinstance(rules, str) and rules.lower() not in ("coffee", ""):
+                return False
+            cfg = GameConfig(
+                int(query.get("boardXSize", 5)), int(query.get("boardYSize", 5)), win_len
+            )
+            override = query.get("overrideSettings", {}) or {}
+            mv = int(override.get("maxVisits", query.get("maxVisits", self.default_visits)))
+            return (cfg, mv, self._query_params(query)) == key0
+        except (ValueError, KeyError, TypeError):
+            return False
+
+    def _prepare(self, query: dict) -> dict:
+        """Everything before the device call: parse the query, replay the
+        moves, split turns into pre-answered (errors, finished positions)
+        and live-search lanes. Raises on malformed queries."""
         qid = query["id"]
         x_size = int(query.get("boardXSize", 5))
         y_size = int(query.get("boardYSize", 5))
@@ -288,22 +318,16 @@ class AnalysisEngine:
 
         turns = [t for t in analyze_turns if 0 <= t < len(states_by_turn)]
         bad = [t for t in analyze_turns if not (0 <= t < len(states_by_turn))]
-        results = [
+        pre = [
             {"id": qid, "turnNumber": t, "error": "turn out of range"} for t in bad
         ]
         live = [t for t in turns if not bool(states_by_turn[t].done)]
         for t in turns:
             if bool(states_by_turn[t].done):
-                results.append(
+                pre.append(
                     {"id": qid, "turnNumber": t, "noResults": True, "isDuringSearch": False}
                 )
-        if not live:
-            return results
 
-        # ---- the batched search: all live turns in one jitted call ----
-        roots = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[states_by_turn[t] for t in live]
-        )
         specs = self._parse_restrictions(query, cfg)
         avoid = np.zeros((len(live), cfg.policy_size), bool)
         for i, t in enumerate(live):
@@ -311,20 +335,87 @@ class AnalysisEngine:
             for pla, mask in specs:
                 if pla == mover:
                     avoid[i] |= mask
-        avoid_j = jnp.asarray(avoid)
 
-        report_every = query.get("reportDuringSearchEvery")
-        if report_every is None:
-            tree = self._search_fn(cfg, len(live), max_visits, sp_q)(
-                roots, self._next_key(), avoid_j
-            )
-            for i, t in enumerate(live):
+        return {
+            "query": query,
+            "qid": qid,
+            "cfg": cfg,
+            "sp": sp_q,
+            "max_visits": max_visits,
+            "pre": pre,
+            "live": live,
+            "states_by_turn": states_by_turn,
+            "avoid": avoid,
+            "report_every": query.get("reportDuringSearchEvery"),
+        }
+
+    def _run_batch(self, preps: list[dict]) -> list[list[dict]]:
+        """ONE batched device call over every live lane of every prep
+        (all preps must share cfg / visit budget / SearchParams — the
+        cross-QUERY batching role of the reference's numAnalysisThreads
+        analysis threads, analysis.cpp:106-191: on TPU, concurrent queries
+        become lanes of one compiled search). With several preps the lane
+        count pads to a power of two (idle init_state lanes) so repeat
+        traffic reuses a handful of compiled shapes. Returns per-prep
+        result lists, pre-answers included."""
+        cfg = preps[0]["cfg"]
+        sp_q = preps[0]["sp"]
+        max_visits = preps[0]["max_visits"]
+        lane_states = [
+            p["states_by_turn"][t] for p in preps for t in p["live"]
+        ]
+        lanes = len(lane_states)
+        batch = lanes if len(preps) == 1 else max(1 << (lanes - 1).bit_length(), 1)
+        pad = batch - lanes
+        if pad:
+            lane_states.extend(init_state(cfg) for _ in range(pad))
+        roots = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lane_states)
+        avoid = np.zeros((batch, cfg.policy_size), bool)
+        row = 0
+        for p in preps:
+            n = len(p["live"])
+            avoid[row : row + n] = p["avoid"]
+            row += n
+        self.num_search_calls += 1
+        tree = self._search_fn(cfg, batch, max_visits, sp_q)(
+            roots, self._next_key(), jnp.asarray(avoid)
+        )
+        out: list[list[dict]] = []
+        offset = 0
+        for p in preps:
+            results = list(p["pre"])
+            for i, t in enumerate(p["live"]):
                 results.append(
                     self._extract(
-                        qid, t, cfg, tree, i, query, states_by_turn[t], sp_q, avoid[i]
+                        p["qid"], t, cfg, tree, offset + i, p["query"],
+                        p["states_by_turn"][t], sp_q, p["avoid"][i],
                     )
                 )
+            offset += len(p["live"])
+            out.append(results)
+        return out
+
+    def _analyze_query(self, query: dict) -> list[dict]:
+        prep = self._prepare(query)
+        qid = prep["qid"]
+        cfg = prep["cfg"]
+        sp_q = prep["sp"]
+        max_visits = prep["max_visits"]
+        results = prep["pre"]
+        live = prep["live"]
+        states_by_turn = prep["states_by_turn"]
+        avoid = prep["avoid"]
+        if not live:
             return results
+
+        report_every = prep["report_every"]
+        if report_every is None:
+            return self._run_batch([prep])[0]
+
+        roots = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[states_by_turn[t] for t in live]
+        )
+        avoid_j = jnp.asarray(avoid)
 
         # ---- streaming: interim isDuringSearch=true reports per chunk ----
         # every query concludes with exactly ONE isDuringSearch=false report
@@ -332,6 +423,7 @@ class AnalysisEngine:
         def gen():
             yield from results
             start, cont = self._stream_fns(cfg, len(live), max_visits, sp_q)
+            self.num_search_calls += 1
             tree = start(roots, self._next_key(), avoid_j)
             done = 1
             vps = getattr(self, "_vps", 200.0)
@@ -682,6 +774,70 @@ class AnalysisEngine:
                     continue
                 break
             _, _, query = heapq.heappop(pending)
+
+            # ---- cross-query batching: absorb compatible pending queries
+            # into one device call (the reference's numAnalysisThreads
+            # in-flight positions; here, lanes of one compiled search) ----
+            group = [query]
+            if (
+                query.get("action") is None
+                and query.get("id") is not None
+                and query.get("reportDuringSearchEvery") is None
+                and pending
+            ):
+                try:
+                    override = query.get("overrideSettings", {}) or {}
+                    rules = query.get("rules", "coffee")
+                    win_len = (
+                        int(rules.get("winLen", 4)) if isinstance(rules, dict) else 4
+                    )
+                    key0 = (
+                        GameConfig(
+                            int(query.get("boardXSize", 5)),
+                            int(query.get("boardYSize", 5)),
+                            win_len,
+                        ),
+                        int(override.get("maxVisits", query.get("maxVisits", self.default_visits))),
+                        self._query_params(query),
+                    )
+                except (ValueError, KeyError, TypeError):
+                    key0 = None
+                if key0 is not None:
+                    rest = []
+                    est_lanes = len(query.get("analyzeTurns", [0]))
+                    for item in sorted(pending):
+                        q2 = item[2]
+                        if (
+                            len(group) < 32
+                            and est_lanes < 256
+                            and q2.get("id") is not None
+                            and self._batch_compatible(q2, key0)
+                        ):
+                            group.append(q2)
+                            est_lanes += len(q2.get("analyzeTurns", [0]))
+                        else:
+                            rest.append(item)
+                    pending[:] = rest
+                    heapq.heapify(pending)
+
+            if len(group) > 1:
+                preps = []
+                for q in group:
+                    try:
+                        p = self._prepare(q)
+                    except (ValueError, KeyError, IndexError) as e:
+                        emit({"id": q.get("id"), "error": str(e)})
+                        continue
+                    for r in p["pre"]:
+                        emit(r)  # errors / finished-position answers
+                    if p["live"]:
+                        preps.append(p)
+                if preps:
+                    for p, per_query in zip(preps, self._run_batch(preps)):
+                        for r in per_query[len(p["pre"]):]:  # pre already emitted
+                            emit(r)
+                continue
+
             self._current_qid = query.get("id")
             self._current_terminated = False
             self._poll_input = drain_available

@@ -362,3 +362,31 @@ def test_print_tree_dump():
     a = d * eng.cfg.area + y * eng.cfg.x_size + x
     sub = eng.print_tree(max_depth=1, branch=[a])
     assert sub.splitlines()[0].startswith("branch:")
+
+
+def test_cross_query_batching():
+    """Compatible pending queries merge into ONE device call (the
+    numAnalysisThreads role); incompatible budgets stay separate."""
+    import json
+
+    from katacoffee_tpu.command.analysis import AnalysisEngine
+    from katacoffee_tpu.search import SearchParams
+
+    eng = AnalysisEngine(SearchParams(valueWeightExponent=0.0), default_visits=8)
+    out = io.StringIO()
+    lines = [
+        '{"id":"a","maxVisits":8}',
+        '{"id":"b","moves":[["B","C3 N"]],"maxVisits":8}',
+        '{"id":"c","maxVisits":8,"analyzeTurns":[0]}',
+        '{"id":"d","maxVisits":16}',
+    ]
+    eng.run(io.StringIO("\n".join(lines) + "\n"), out)
+    rows = [json.loads(l) for l in out.getvalue().splitlines()]
+    got = {r["id"] for r in rows if "moveInfos" in r}
+    assert got == {"a", "b", "c", "d"}
+    # a+b+c share (cfg, visits, params) -> one call; d runs alone
+    assert eng.num_search_calls == 2
+    # every result is well-formed
+    for r in rows:
+        if "moveInfos" in r:
+            assert r["rootInfo"]["visits"] >= 8
