@@ -652,17 +652,35 @@ class GTPEngine:
             elif cmd == "kata-set-rules" and args and args[0].lower() != "coffee":
                 raise ValueError("only coffee rules are supported")
         elif cmd == "kata-list-params":
-            resp = "maxVisits"
+            # maxVisits plus every SearchParams field (a superset of the
+            # reference's dynamic-param list, gtp.cpp kata-set-param)
+            resp = "\n".join(["maxVisits"] + [f.name for f in dataclasses.fields(SearchParams)])
         elif cmd == "kata-get-param":
-            if args and args[0] == "maxVisits":
+            name = args[0] if args else ""
+            if name == "maxVisits":
                 resp = str(self.max_visits)
+            elif hasattr(self.sp, name) and not name.startswith("_"):
+                v = getattr(self.sp, name)
+                resp = str(v).lower() if isinstance(v, bool) else str(v)
             else:
-                raise ValueError(f"unknown param {args[0] if args else ''}")
+                raise ValueError(f"unknown param {name}")
         elif cmd == "kata-set-param":
-            if len(args) == 2 and args[0] == "maxVisits":
-                self.max_visits = int(args[1])
+            if len(args) != 2:
+                raise ValueError("expected: kata-set-param PARAM VALUE")
+            name, value = args
+            if name == "maxVisits":
+                self.max_visits = int(value)
+            elif any(f.name == name for f in dataclasses.fields(SearchParams)):
+                from katacoffee_tpu.program.setup import load_search_params
+                from katacoffee_tpu.utils import ConfigParser
+
+                c = ConfigParser(text="", overrides={name: value})
+                self.sp = load_search_params(c, self.sp)
+                # searches are compiled against the params: swap them on the
+                # engine and drop its cached executables (state is kept)
+                self.engine.set_search_params(self.sp)
             else:
-                raise ValueError("expected: kata-set-param maxVisits N")
+                raise ValueError(f"unknown param {name}")
         elif cmd in ("genmove", "genmove_debug", "search_debug"):
             pla = _parse_player(args[0]) if args else self.engine.to_move
             resp = self._genmove(

@@ -139,6 +139,13 @@ class Engine:
         self.move_history = []
         self._state_stack = []
 
+    def set_search_params(self, sp: SearchParams):
+        """Swap the search parameters mid-game (GTP kata-set-param): the
+        compiled search executables close over the params, so the fn cache
+        is dropped; position and clock state are untouched."""
+        self.sp = sp
+        self._search_fns.clear()
+
     def set_to_move(self, pla: int):
         """Override the player to move at the current position (the
         reference's GTPEngine analyze-for-either-player and out-of-order

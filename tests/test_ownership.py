@@ -390,3 +390,28 @@ def test_cross_query_batching():
     for r in rows:
         if "moveInfos" in r:
             assert r["rootInfo"]["visits"] >= 8
+
+
+def test_gtp_dynamic_params():
+    """kata-get/set-param over any SearchParams field (superset of the
+    reference's dynamic-param list); setting a param swaps the engine's
+    compiled searches without losing the game state."""
+    from katacoffee_tpu.command.gtp import GTPEngine
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.search import SearchParams
+
+    g = GTPEngine(GameConfig(5, 5, 4), SearchParams(valueWeightExponent=0.0), max_visits=8)
+    g.handle("play B C3 north")
+    resp, _ = g.handle("kata-list-params")
+    assert "maxVisits" in resp and "cpuctExploration" in resp
+    resp, _ = g.handle("kata-get-param cpuctExploration")
+    assert float(resp.split()[-1]) > 0
+    resp, _ = g.handle("kata-set-param cpuctExploration 0.77")
+    assert resp.startswith("=")
+    resp, _ = g.handle("kata-get-param cpuctExploration")
+    assert resp.split()[-1] == "0.77"
+    # game state survived; searches still run with the new params
+    resp, _ = g.handle("genmove w")
+    assert resp.startswith("= ")
+    resp, _ = g.handle("kata-get-param noSuchThing")
+    assert resp.startswith("?")
