@@ -45,6 +45,14 @@ def main(argv, **kw):
 
     eng = Engine(cfg, sp, eval_fn)
     moves = sgf.moves()
+    pls = sgf.placements()
+    if pls:
+        import numpy as np
+
+        board = np.zeros((cfg.y_size, cfg.x_size), np.int8)
+        for px, py, ppla in pls:
+            board[py, px] = ppla
+        eng.set_position(board, moves[0][3] if moves else 1)
     upto = args.move_num if args.move_num >= 0 else len(moves)
     for mx, my, md, mpla in moves[:upto]:
         eng.play(mx, my, md, mpla)

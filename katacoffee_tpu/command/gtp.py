@@ -800,6 +800,14 @@ class GTPEngine:
             self.cfg = GameConfig(x, y, sgf.win_len())
             self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
             moves = sgf.moves()
+            pls = sgf.placements()
+            if pls:
+                # AB/AW setup stones (custom start positions, sgf.cpp role):
+                # an arbitrary position with no move history
+                board = np.zeros((y, x), np.int8)
+                for px, py, ppla in pls:
+                    board[py, px] = ppla
+                self.engine.set_position(board, moves[0][3] if moves else 1)
             upto = int(args[1]) if len(args) > 1 else len(moves)
             for mx, my, md, mpla in moves[:upto]:
                 self.engine.play(mx, my, md, mpla)

@@ -415,3 +415,20 @@ def test_gtp_dynamic_params():
     assert resp.startswith("= ")
     resp, _ = g.handle("kata-get-param noSuchThing")
     assert resp.startswith("?")
+
+
+def test_loadsgf_applies_placements(tmp_path):
+    """AB/AW setup stones in an SGF reach the engine position (loadsgf and
+    evalsgf previously dropped them; reference sgf.cpp placements role)."""
+    from katacoffee_tpu.command.gtp import GTPEngine
+    from katacoffee_tpu.dataio.sgf import write_sgf
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.search import SearchParams
+
+    p = tmp_path / "setup.sgf"
+    p.write_text(write_sgf(5, 5, 4, [], placements=[(0, 0, 1), (4, 4, 2)]))
+    g = GTPEngine(GameConfig(5, 5, 4), SearchParams(valueWeightExponent=0.0), max_visits=8)
+    resp, _ = g.handle(f"loadsgf {p}")
+    assert resp.startswith("=")
+    board = g.engine.board()
+    assert board[0, 0] == 1 and board[4, 4] == 2
