@@ -30,6 +30,7 @@ Training pipeline (shared -base-dir layout):
   shuffle      window + shuffle npz data for training
   train        trainer daemon (checkpoints, metrics, model export)
   gatekeeper   candidate-vs-champion gating daemon
+  validate     evaluate an exported model on npz rows (loss metrics)
   loop         full synchronous selfplay->shuffle->train->gate loop
   match        round-robin matches between exported models
   summarize_sgfs  tally SGF results and fit MLE Elos
@@ -139,6 +140,10 @@ def main(argv: list[str] | None = None) -> int:
 
         m(args)
         return 0
+    if cmd == "validate":
+        from katacoffee_tpu.command.validate import main as m
+
+        return m(args) or 0
     if cmd == "gatekeeper":
         from katacoffee_tpu.command.gatekeeper import main as m
 
