@@ -31,6 +31,7 @@ Training pipeline (shared -base-dir layout):
   train        trainer daemon (checkpoints, metrics, model export)
   gatekeeper   candidate-vs-champion gating daemon
   validate     evaluate an exported model on npz rows (loss metrics)
+  checkpoint   dump / edit / export-for-release a trainer checkpoint
   loop         full synchronous selfplay->shuffle->train->gate loop
   match        round-robin matches between exported models
   summarize_sgfs  tally SGF results and fit MLE Elos
@@ -142,6 +143,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "validate":
         from katacoffee_tpu.command.validate import main as m
+
+        return m(args) or 0
+    if cmd == "checkpoint":
+        from katacoffee_tpu.command.checkpoint import main as m
 
         return m(args) or 0
     if cmd == "gatekeeper":
