@@ -22,8 +22,9 @@ searchresults.cpp:798-801), rootPolicyTemperature / rootFpuReductionMax
 (top-level shorthands, Analysis_Engine.md), overrideSettings (ANY
 SearchParams field per query — searches re-jit per distinct override combo,
 cached), avoidMoves/allowMoves (list of {player, moves, untilDepth} —
-applied as root restrictions per analysis.cpp:106-191; untilDepth beyond the
-root is out of scope for the batched search, documented deviation), and
+per-player avoidMoveUntilByLoc depth arrays built exactly like
+analysis.cpp:1030-1091 and gating the in-tree descent,
+searchexplorehelpers.cpp:395-421), and
 reportDuringSearchEvery (seconds — interim results stream with
 isDuringSearch=true between compiled search chunks), and priority /
 priorities (pending queries pop highest-priority-first, FIFO within a
@@ -131,8 +132,9 @@ class AnalysisEngine:
         if fn is None:
             ev = self._eval_fn(cfg)
             fn = jax.jit(
-                lambda roots, rng, avoid: mcts.run_search(
-                    cfg, sp, ev, roots, visits, rng, root_avoid=avoid
+                lambda roots, rng, avoid, avoid_until: mcts.run_search(
+                    cfg, sp, ev, roots, visits, rng, root_avoid=avoid,
+                    avoid_until=avoid_until,
                 )
             )
             self._search_cache[key] = fn
@@ -148,13 +150,16 @@ class AnalysisEngine:
         if fns is None:
             ev = self._eval_fn(cfg)
 
-            def start(roots, rng, avoid):
+            def start(roots, rng, avoid, avoid_until):
                 return mcts.run_search(
-                    cfg, sp, ev, roots, 0, rng, max_nodes=cap, root_avoid=avoid
+                    cfg, sp, ev, roots, 0, rng, max_nodes=cap, root_avoid=avoid,
+                    avoid_until=avoid_until,
                 )
 
-            def cont(tree, rng, target):
-                return mcts.continue_search(cfg, sp, ev, tree, cap, rng, target)
+            def cont(tree, rng, target, avoid_until):
+                return mcts.continue_search(
+                    cfg, sp, ev, tree, cap, rng, target, avoid_until=avoid_until
+                )
 
             fns = (jax.jit(start), jax.jit(cont))
             self._search_cache[key] = fns
@@ -207,19 +212,39 @@ class AnalysisEngine:
         return strs[0], min(strs)
 
     def _parse_restrictions(self, query: dict, cfg: GameConfig):
-        """avoidMoves/allowMoves -> list of (player, avoid-mask[A]) root
-        restrictions (allow = avoid of the complement)."""
-        specs = []
-        for key_name, is_allow in (("avoidMoves", False), ("allowMoves", True)):
-            for entry in query.get(key_name) or []:
-                pla = _parse_player(entry["player"])
-                mask = np.zeros(cfg.policy_size, bool)
-                for mstr in entry["moves"]:
-                    x, y, d = gio.parse_loc(mstr, cfg)
-                    mask[d * cfg.area + y * cfg.x_size + x] = True
-                if int(entry.get("untilDepth", 1)) >= 1:
-                    specs.append((pla, ~mask if is_allow else mask))
-        return specs
+        """avoidMoves/allowMoves -> per-player untilDepth array [2,A] int32
+        (avoidMoveUntilByLocBlack/White, analysis.cpp:1030-1091): action a is
+        excluded for player p while untilDepth > descent depth. avoidMoves
+        entries assign their untilDepth to the listed moves; allowMoves (one
+        entry only, exclusive with avoidMoves) fills the player's row with
+        untilDepth then zeroes the listed moves. Returns None when the query
+        carries no restrictions."""
+        has_avoid = bool(query.get("avoidMoves"))
+        has_allow = bool(query.get("allowMoves"))
+        if not (has_avoid or has_allow):
+            return None
+        if has_avoid and has_allow:
+            raise ValueError("cannot specify both allowMoves and avoidMoves")
+        key_name, is_allow = ("allowMoves", True) if has_allow else ("avoidMoves", False)
+        entries = query[key_name]
+        if is_allow and len(entries) > 1:
+            raise ValueError("currently allowMoves only allows one entry")
+        until_by_loc = np.zeros((2, cfg.policy_size), np.int32)
+        for entry in entries:
+            pla = _parse_player(entry["player"])
+            until = int(entry.get("untilDepth", 1))
+            if until < 1:
+                raise ValueError("untilDepth must be a positive integer")
+            locs = []
+            for mstr in entry["moves"]:
+                x, y, d = gio.parse_loc(mstr, cfg)
+                locs.append(d * cfg.area + y * cfg.x_size + x)
+            if is_allow:
+                until_by_loc[pla - 1, :] = until
+                until_by_loc[pla - 1, locs] = 0
+            else:
+                until_by_loc[pla - 1, locs] = until
+        return until_by_loc
 
     # ------------------------------------------------------------------
 
@@ -328,13 +353,14 @@ class AnalysisEngine:
                     {"id": qid, "turnNumber": t, "noResults": True, "isDuringSearch": False}
                 )
 
-        specs = self._parse_restrictions(query, cfg)
+        until_by_loc = self._parse_restrictions(query, cfg)
         avoid = np.zeros((len(live), cfg.policy_size), bool)
-        for i, t in enumerate(live):
-            mover = int(states_by_turn[t].to_move)
-            for pla, mask in specs:
-                if pla == mover:
-                    avoid[i] |= mask
+        avoid_until = np.zeros((len(live), 2, cfg.policy_size), np.int32)
+        if until_by_loc is not None:
+            avoid_until[:] = until_by_loc
+            for i, t in enumerate(live):
+                mover = int(states_by_turn[t].to_move)
+                avoid[i] = until_by_loc[mover - 1] > 0
 
         return {
             "query": query,
@@ -346,6 +372,7 @@ class AnalysisEngine:
             "live": live,
             "states_by_turn": states_by_turn,
             "avoid": avoid,
+            "avoid_until": avoid_until,
             "report_every": query.get("reportDuringSearchEvery"),
         }
 
@@ -371,14 +398,16 @@ class AnalysisEngine:
             lane_states.extend(init_state(cfg) for _ in range(pad))
         roots = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lane_states)
         avoid = np.zeros((batch, cfg.policy_size), bool)
+        avoid_until = np.zeros((batch, 2, cfg.policy_size), np.int32)
         row = 0
         for p in preps:
             n = len(p["live"])
             avoid[row : row + n] = p["avoid"]
+            avoid_until[row : row + n] = p["avoid_until"]
             row += n
         self.num_search_calls += 1
         tree = self._search_fn(cfg, batch, max_visits, sp_q)(
-            roots, self._next_key(), jnp.asarray(avoid)
+            roots, self._next_key(), jnp.asarray(avoid), jnp.asarray(avoid_until)
         )
         out: list[list[dict]] = []
         offset = 0
@@ -416,6 +445,7 @@ class AnalysisEngine:
             lambda *xs: jnp.stack(xs), *[states_by_turn[t] for t in live]
         )
         avoid_j = jnp.asarray(avoid)
+        until_j = jnp.asarray(prep["avoid_until"])
 
         # ---- streaming: interim isDuringSearch=true reports per chunk ----
         # every query concludes with exactly ONE isDuringSearch=false report
@@ -424,7 +454,7 @@ class AnalysisEngine:
             yield from results
             start, cont = self._stream_fns(cfg, len(live), max_visits, sp_q)
             self.num_search_calls += 1
-            tree = start(roots, self._next_key(), avoid_j)
+            tree = start(roots, self._next_key(), avoid_j, until_j)
             done = 1
             vps = getattr(self, "_vps", 200.0)
             while done <= max_visits:
@@ -436,7 +466,7 @@ class AnalysisEngine:
                 chunk = max(8, int(float(report_every) * vps))
                 target = min(done + chunk, max_visits + 1)
                 t0 = time.monotonic()
-                tree = cont(tree, self._next_key(), jnp.asarray(float(target)))
+                tree = cont(tree, self._next_key(), jnp.asarray(float(target)), until_j)
                 jax.block_until_ready(tree.visits)
                 dt = max(time.monotonic() - t0, 1e-6)
                 vps = 0.7 * vps + 0.3 * ((target - done) / dt)

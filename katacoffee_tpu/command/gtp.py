@@ -17,10 +17,10 @@ search runs as compiled chunks; between chunks the host emits an `info` line
 and polls stdin so a newline or the next command stops the analysis —
 gtp.cpp kata-analyze semantics). Deviation (documented): the analysis is
 bounded by maxVisits rather than running forever; GUIs that stop analysis by
-sending the next command see identical behavior. avoidMoves/allowMoves
-restrict the root only (our searches are batched; deeper per-player
-avoidance is out of scope — analysis.cpp:106-191's root restriction is the
-behavior GUIs rely on).
+sending the next command see identical behavior. avoid/allow build the
+per-player avoidMoveUntilByLoc depth arrays exactly like gtp.cpp:1591-1686
+and gate the in-tree descent (searchexplorehelpers.cpp:395-421), with the
+root mover's depth-0 row doubling as the root prior mask.
 """
 
 from __future__ import annotations
@@ -220,11 +220,17 @@ class GTPEngine:
         """Parse lz-analyze/kata-analyze args (gtp.cpp parseAnalyzeCommand):
         [player] [interval-centiseconds] plus keyed options interval N,
         avoid/allow PLAYER MOVES UNTILDEPTH, minmoves/maxmoves N (other
-        kata keys are accepted and ignored)."""
+        kata keys are accepted and ignored). avoid/allow build per-player
+        untilDepth arrays exactly like gtp.cpp:1591-1686: `avoid` assigns
+        UNTILDEPTH to the listed moves; `allow` fills the player's whole
+        row with UNTILDEPTH then zeroes the listed moves; a player may not
+        mix allow with avoid or receive two allows."""
         pla = self.engine.to_move
         interval = None  # seconds between reports
-        avoid = None  # [A] bool, True = forbidden at root
-        allow_mask = None
+        avoid_until = np.zeros((2, self.cfg.policy_size), np.int32)
+        got_avoid = [False, False]
+        got_allow = [False, False]
+        have_restrictions = False
         maxmoves = 16
         ownership = False
         ownership_stdev = False
@@ -232,7 +238,6 @@ class GTPEngine:
         moves_ownership_stdev = False
         pv_visits = False
         pv_edge_visits = False
-        A = self.cfg.policy_size
         toks = list(args)
         i = 0
         if toks and toks[0].lower() in ("b", "black", "w", "white"):
@@ -245,18 +250,31 @@ class GTPEngine:
                 i += 2
             elif t in ("avoid", "allow") and i + 3 < len(toks):
                 p2 = _parse_player(toks[i + 1])
-                mask = np.zeros(A, bool)
+                locs = []
                 for mstr in toks[i + 2].split(","):
+                    if not mstr.strip():
+                        continue
                     x, y, d = gio.parse_loc(mstr, self.cfg)
-                    mask[d * self.cfg.area + y * self.cfg.x_size + x] = True
+                    locs.append(d * self.cfg.area + y * self.cfg.x_size + x)
                 until = int(toks[i + 3])
+                if until < 1:
+                    raise ValueError("untilDepth must be a positive integer")
+                row = p2 - 1
+                if (t == "allow" and (got_avoid[row] or got_allow[row])) or (
+                    t == "avoid" and got_allow[row]
+                ):
+                    raise ValueError(
+                        "cannot mix allow with avoid/allow for the same player"
+                    )
+                if t == "allow":
+                    avoid_until[row, :] = until
+                    avoid_until[row, locs] = 0
+                    got_allow[row] = True
+                else:
+                    avoid_until[row, locs] = until
+                    got_avoid[row] = True
+                have_restrictions = True
                 i += 4
-                # root-only restriction: applies when it covers the root mover
-                if p2 == pla and until >= 1:
-                    if t == "avoid":
-                        avoid = mask if avoid is None else (avoid | mask)
-                    else:
-                        allow_mask = mask if allow_mask is None else (allow_mask | mask)
             elif t in ("minmoves", "maxmoves") and i + 1 < len(toks):
                 if t == "maxmoves":
                     maxmoves = int(toks[i + 1])
@@ -286,11 +304,11 @@ class GTPEngine:
                 i += 1
             else:
                 raise ValueError(f"could not parse analyze argument {toks[i]!r}")
-        if allow_mask is not None:
-            inv = ~allow_mask
-            avoid = inv if avoid is None else (avoid | inv)
+        # the root mover's depth-0 restriction doubles as the root prior mask
+        avoid = (avoid_until[pla - 1] > 0) if have_restrictions else None
         return {
             "pla": pla, "interval": interval, "avoid": avoid,
+            "avoid_until": avoid_until if have_restrictions else None,
             "maxmoves": maxmoves, "ownership": ownership,
             "ownership_stdev": ownership_stdev,
             "moves_ownership": moves_ownership,
@@ -327,7 +345,8 @@ class GTPEngine:
             if genmove:
                 t0 = time.monotonic()
                 action, result = self.engine.genmove(
-                    visits, play=True, avoid=spec["avoid"]
+                    visits, play=True, avoid=spec["avoid"],
+                    avoid_until=spec["avoid_until"],
                 )
                 dt = time.monotonic() - t0
                 self.cpu_time += dt
@@ -336,7 +355,8 @@ class GTPEngine:
                     result, spec, self.engine.last_tree
                 ) + f"\nplay {gio.action_to_compact(action, self.cfg)}"
             result = self.engine.analyze(
-                self.max_visits, max_moves=spec["maxmoves"], avoid=spec["avoid"]
+                self.max_visits, max_moves=spec["maxmoves"], avoid=spec["avoid"],
+                avoid_until=spec["avoid_until"],
             )
             return self._analyze_response(result, spec, self.engine.last_tree)
 
@@ -375,6 +395,7 @@ class GTPEngine:
             action, result = self.engine.genmove_stream(
                 visits, chunk, stop_check=stop_check,
                 avoid=spec["avoid"], play=True, on_report=report,
+                avoid_until=spec["avoid_until"],
             )
             dt = time.monotonic() - t0
             self.cpu_time += dt
@@ -383,7 +404,8 @@ class GTPEngine:
         else:
             tree = None
             for tree, done in self.engine.search_stream(
-                self.max_visits, chunk, avoid=spec["avoid"], stop_check=stop_check
+                self.max_visits, chunk, avoid=spec["avoid"], stop_check=stop_check,
+                avoid_until=spec["avoid_until"],
             ):
                 report(tree, done)
         outfile.write("\n")

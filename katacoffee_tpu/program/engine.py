@@ -219,16 +219,23 @@ class Engine:
         self._rng, k = jax.random.split(self._rng)
         return k
 
-    def search(self, max_visits: int, avoid: np.ndarray | None = None) -> mcts.Tree:
+    def search(
+        self,
+        max_visits: int,
+        avoid: np.ndarray | None = None,
+        avoid_until: np.ndarray | None = None,
+    ) -> mcts.Tree:
         if self.game_over:
             raise ValueError("game is over")
         t0 = time.monotonic()
-        if avoid is not None:
+        if avoid is not None or avoid_until is not None:
             # search_stream maintains visits_per_second per chunk itself;
             # re-applying an EMA here would fold the stream fns' compile time
             # into the estimate and crater timed-genmove budgets
             tree = None
-            for tree, _ in self.search_stream(max_visits, max_visits, avoid=avoid):
+            for tree, _ in self.search_stream(
+                max_visits, max_visits, avoid=avoid, avoid_until=avoid_until
+            ):
                 pass
             return tree
         tree = self._get_search_fn(max_visits)(self.state, self._next_key())
@@ -259,15 +266,17 @@ class Engine:
         if fns is None:
             cfg, sp, ev = self.cfg, self.sp, self.eval_fn
 
-            def start(root_state, rng, avoid):
+            def start(root_state, rng, avoid, avoid_until):
                 roots = jax.tree_util.tree_map(lambda x: x[None], root_state)
                 return mcts.run_search(
                     cfg, sp, ev, roots, 0, rng, max_nodes=cap,
-                    root_avoid=avoid[None],
+                    root_avoid=avoid[None], avoid_until=avoid_until[None],
                 )
 
-            def cont(tree, rng, target):
-                return mcts.continue_search(cfg, sp, ev, tree, cap, rng, target)
+            def cont(tree, rng, target, avoid_until):
+                return mcts.continue_search(
+                    cfg, sp, ev, tree, cap, rng, target, avoid_until=avoid_until[None]
+                )
 
             fns = (jax.jit(start), jax.jit(cont))
             self._search_fns[key] = fns
@@ -279,10 +288,14 @@ class Engine:
         interval_visits: int,
         avoid: np.ndarray | None = None,
         stop_check=None,
+        avoid_until: np.ndarray | None = None,
     ):
         """Generator yielding (tree, visits_so_far) every `interval_visits`
         root visits until `max_visits`. `avoid` [A] bool masks root moves
-        (avoidMoves/allowMoves). `stop_check(tree, visits_so_far,
+        (avoidMoves/allowMoves); `avoid_until` [2,A] int32 extends the
+        restriction into the descent — action a is excluded for player p at
+        depth d while avoid_until[p-1, a] > d (avoidMoveUntilByLoc,
+        searchexplorehelpers.cpp:395-421). `stop_check(tree, visits_so_far,
         visits_left)` returning True ends the search early (time management /
         futile-visits)."""
         if self.game_over:
@@ -292,12 +305,16 @@ class Engine:
             avoid_arr = jnp.zeros((self.cfg.policy_size,), bool)
         else:
             avoid_arr = jnp.asarray(np.asarray(avoid, bool))
-        tree = start(self.state, self._next_key(), avoid_arr)
+        if avoid_until is None:
+            until_arr = jnp.zeros((2, self.cfg.policy_size), jnp.int32)
+        else:
+            until_arr = jnp.asarray(np.asarray(avoid_until, np.int32))
+        tree = start(self.state, self._next_key(), avoid_arr, until_arr)
         done = 1  # the root eval counts as one visit
         while done <= max_visits:
             target = min(done + max(int(interval_visits), 1), max_visits + 1)
             t0 = time.monotonic()
-            tree = cont(tree, self._next_key(), jnp.asarray(float(target)))
+            tree = cont(tree, self._next_key(), jnp.asarray(float(target)), until_arr)
             jax.block_until_ready(tree.visits)
             dt = max(time.monotonic() - t0, 1e-6)
             added = target - done
@@ -347,6 +364,7 @@ class Engine:
         avoid: np.ndarray | None = None,
         play: bool = True,
         on_report=None,
+        avoid_until: np.ndarray | None = None,
     ) -> tuple[int, AnalysisResult]:
         """genmove over the chunked search: runs `search_stream` (so the host
         can apply time-management stop conditions via `stop_check` and emit
@@ -355,7 +373,8 @@ class Engine:
         of the reference's runWholeSearchAndGetMove + shouldStop polling."""
         tree = None
         for tree, done in self.search_stream(
-            max_visits, interval_visits, avoid=avoid, stop_check=stop_check
+            max_visits, interval_visits, avoid=avoid, stop_check=stop_check,
+            avoid_until=avoid_until,
         ):
             if on_report is not None:
                 on_report(tree, done)
@@ -368,12 +387,18 @@ class Engine:
         return action, result
 
     def genmove(
-        self, max_visits: int, play: bool = True, avoid: np.ndarray | None = None
+        self,
+        max_visits: int,
+        play: bool = True,
+        avoid: np.ndarray | None = None,
+        avoid_until: np.ndarray | None = None,
     ) -> tuple[int, AnalysisResult]:
         """Search + choose a move (getChosenMoveLoc semantics). Returns
         (flat action, analysis). Plays the move onto the board if `play`.
-        `avoid` masks root moves (genmove_analyze avoid/allow)."""
-        tree = self.search(max_visits, avoid=avoid)
+        `avoid` masks root moves (genmove_analyze avoid/allow);
+        `avoid_until` [2,A] extends the restriction into the descent
+        (avoidMoveUntilByLoc — see search_stream)."""
+        tree = self.search(max_visits, avoid=avoid, avoid_until=avoid_until)
         action = int(mcts.select_moves(self.cfg, self.sp, tree, self._next_key())[0])
         result = self._extract_analysis(tree, avoid=avoid)
         if play:
@@ -388,8 +413,9 @@ class Engine:
         max_moves: int = 16,
         pv_len: int = 8,
         avoid: np.ndarray | None = None,
+        avoid_until: np.ndarray | None = None,
     ) -> AnalysisResult:
-        tree = self.search(max_visits, avoid=avoid)
+        tree = self.search(max_visits, avoid=avoid, avoid_until=avoid_until)
         return self._extract_analysis(tree, max_moves=max_moves, pv_len=pv_len, avoid=avoid)
 
     # ------------------------------------------------------------------

@@ -739,11 +739,15 @@ def _add_dirichlet_noise(sp, rng, policy, legal):
 
 
 def _select_action(
-    cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: jax.Array, cs=None
+    cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: jax.Array, cs=None,
+    forbid: jax.Array | None = None,
 ):
     """Vectorized selectBestChildToDescend (searchexplorehelpers.cpp:304-451).
     node: [B] current node per game. `cs` lets the caller pass precomputed
-    child-edge stats. Returns chosen action [B]."""
+    child-edge stats. `forbid` [B,A] True = excluded at this node (the
+    depth-limited avoidMoveUntilByLoc gating, searchexplorehelpers.cpp:
+    416-421; a mask that would exclude every legal move is ignored for that
+    game, like the reference's root fallback). Returns chosen action [B]."""
     B = node.shape[0]
     bidx = jnp.arange(B)
 
@@ -833,6 +837,13 @@ def _select_action(
             jnp.where(force_hint, jnp.inf, selection[bidx, hint_safe])
         )
 
+    if forbid is not None:
+        # the reference gates candidate moves BEFORE scoring, so an avoided
+        # move can never be forced by forced-playouts/hint either — applying
+        # the mask last preserves that (avoid wins over every forcing rule)
+        keep = ((prior >= 0.0) & ~forbid).any(-1)
+        selection = jnp.where(forbid & keep[:, None], -jnp.inf, selection)
+
     return jnp.argmax(selection, axis=-1)
 
 
@@ -854,11 +865,18 @@ def _simulate_once(
     cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_depth: int,
     active: jax.Array | None = None,
     scratch: jax.Array | None = None,
+    avoid_until: jax.Array | None = None,
 ):
     """One playout per game. `active` [B] masks out games whose playout is a
     no-op (used by visit-target searches over reused trees). `scratch` from
     make_sim_scratch is threaded through by callers to avoid per-sim
-    allocation; returns (tree, rng, scratch)."""
+    allocation; returns (tree, rng, scratch).
+
+    `avoid_until` [B,2,A] int32 (index 1 = P_BLACK's avoid row, 2 = white's,
+    0-based): action a is excluded for the node's mover p at descent depth d
+    iff avoid_until[b, p-1, a] > d — the reference's avoidMoveUntilByLoc
+    depth gating (searchexplorehelpers.cpp:395-421; depth = plies below the
+    root). None (the selfplay path) compiles to no extra ops."""
     B = tree.stats.shape[0]
     bidx = jnp.arange(B)
     k_leak, k_eval, rng = jax.random.split(rng, 3)
@@ -898,7 +916,12 @@ def _simulate_once(
         # every level (76µs/level, profiled).
         save = jax.lax.dynamic_update_index_in_dim(save, cs_raw, it, 1)
         cs = _edge_stats_from_raw(tr_ev, bidx, node, cs_raw)
-        act = _select_action(cfg, sp, tr_ev, node, is_root, cs=cs)
+        if avoid_until is not None:
+            pidx = jnp.clip(tree.states.to_move[bidx, node].astype(jnp.int32) - 1, 0, 1)
+            forbid = avoid_until[bidx, pidx] > depth[:, None]
+        else:
+            forbid = None
+        act = _select_action(cfg, sp, tr_ev, node, is_root, cs=cs, forbid=forbid)
         child = tree.children[bidx, node, act]
         has_child = child >= 0
         cidx = jnp.maximum(child, 0)
@@ -1172,6 +1195,7 @@ def _simulate_round(
     cfg, sp: SearchParams, eval_fn: EvalFn, tree: Tree, rng, max_depth: int, K: int,
     active: jax.Array | None = None,
     scratch: jax.Array | None = None,
+    avoid_until: jax.Array | None = None,
 ):
     """K playouts per game in one round — the lockstep analogue of the
     reference's numSearchThreads parallel playouts (searchparams.h:111,
@@ -1212,7 +1236,14 @@ def _simulate_round(
             cs_raw = _gather_child_stats(tr_ev, bidx, nk)
             level_rows.append(cs_raw)
             cs = _edge_stats_from_raw(tr_ev, bidx, nk, cs_raw)
-            act = _select_action(cfg, sp, tr_ev, nk, is_root, cs=cs)
+            if avoid_until is not None:
+                pidx = jnp.clip(
+                    tree.states.to_move[bidx, nk].astype(jnp.int32) - 1, 0, 1
+                )
+                forbid = avoid_until[bidx, pidx] > depth[:, k][:, None]
+            else:
+                forbid = None
+            act = _select_action(cfg, sp, tr_ev, nk, is_root, cs=cs, forbid=forbid)
             child = tree.children[bidx, nk, act]
             has_child = child >= 0
             cidx = jnp.maximum(child, 0)
@@ -1677,10 +1708,13 @@ def run_search(
     reuse_ok: jax.Array | None = None,
     root_hint: jax.Array | None = None,
     root_avoid: jax.Array | None = None,
+    avoid_until: jax.Array | None = None,
 ) -> Tree:
     """runWholeSearch equivalent (search.cpp:361-509): playouts for each of
     the B games, fully on device. jit this (closing over cfg/sp/eval_fn/
-    num_sims).
+    num_sims). `avoid_until` [B,2,A] int32 applies the reference's
+    depth-limited avoidMoveUntilByLoc gating during descent (see
+    _simulate_once; `root_avoid` covers depth 0 via the root prior).
 
     Without reuse: exactly num_sims playouts (root ends at num_sims+1
     visits). With `reuse_tree` (the previous move's tree), `reuse_actions`
@@ -1730,7 +1764,7 @@ def run_search(
                 active = jnp.broadcast_to(slot < num_sims, (B, K))
                 tree, _, scratch = _simulate_round(
                     cfg, sp, eval_fn, tree, k, max_depth, K,
-                    active=active, scratch=scratch,
+                    active=active, scratch=scratch, avoid_until=avoid_until,
                 )
                 return tree, rng, scratch
 
@@ -1743,7 +1777,8 @@ def run_search(
             tree, rng, scratch = carry
             k, rng = jax.random.split(rng)
             tree, _, scratch = _simulate_once(
-                cfg, sp, eval_fn, tree, k, max_depth, scratch=scratch
+                cfg, sp, eval_fn, tree, k, max_depth, scratch=scratch,
+                avoid_until=avoid_until,
             )
             return tree, rng, scratch
 
@@ -1771,7 +1806,7 @@ def run_search(
             active = jnp.arange(K)[None, :] < deficit[:, None]
             tree, _, scratch = _simulate_round(
                 cfg, sp, eval_fn, tree, k, max_depth, K,
-                active=active, scratch=scratch,
+                active=active, scratch=scratch, avoid_until=avoid_until,
             )
             return tree, rng, it + 1, scratch
 
@@ -1791,7 +1826,8 @@ def run_search(
         k, rng = jax.random.split(rng)
         active = tree.stats[:, 0, S_VISITS] < target
         tree, _, scratch = _simulate_once(
-            cfg, sp, eval_fn, tree, k, max_depth, active=active, scratch=scratch
+            cfg, sp, eval_fn, tree, k, max_depth, active=active, scratch=scratch,
+            avoid_until=avoid_until,
         )
         return tree, rng, it + 1, scratch
 
@@ -1809,6 +1845,7 @@ def continue_search(
     max_more_sims: int,
     rng: jax.Array,
     target_visits: jax.Array | float,
+    avoid_until: jax.Array | None = None,
 ) -> Tree:
     """Continue an existing search at the SAME root until each game's root
     reaches `target_visits` total visits (dynamic, scalar or [B]), bounded by
@@ -1841,7 +1878,7 @@ def continue_search(
             active = jnp.arange(K)[None, :] < deficit[:, None]
             tree, _, scratch = _simulate_round(
                 cfg, sp, eval_fn, tree, k, max_depth, K,
-                active=active, scratch=scratch,
+                active=active, scratch=scratch, avoid_until=avoid_until,
             )
             return tree, rng, it + 1, scratch
 
@@ -1861,7 +1898,8 @@ def continue_search(
         k, rng = jax.random.split(rng)
         active = tree.stats[:, 0, S_VISITS] < target
         tree, _, scratch = _simulate_once(
-            cfg, sp, eval_fn, tree, k, max_depth, active=active, scratch=scratch
+            cfg, sp, eval_fn, tree, k, max_depth, active=active, scratch=scratch,
+            avoid_until=avoid_until,
         )
         return tree, rng, it + 1, scratch
 
