@@ -41,8 +41,12 @@ def main():
     cfg = GameConfig(5, 5, 4)
     sp = SearchParams.for_selfplay()
     num_sims = 600
-    B = 256
-    moves_per_segment = 8  # long enough for tree reuse to engage mid-game
+    # B=512 won the real-chip batch sweep (tools/batch_sweep.py, STATUS.md:
+    # 256→61.6k, 512→63.9k, 1024→43.9k visits/s); short segments keep each
+    # device call ~10s, well under the ~20-25s tunnel watchdog. State carries
+    # across segments, so tree reuse still engages mid-game.
+    B = 512
+    moves_per_segment = 2
 
     model = CoffeeNet(get_model_spec("b6c96"), win_len=cfg.win_len)
     params = init_params(model, cfg, jax.random.PRNGKey(0))
@@ -64,7 +68,7 @@ def main():
     s2, e2, traj = seg(states, ep, jax.random.PRNGKey(0))
     float(jnp.sum(traj.played_action))
 
-    segments_timed = 2
+    segments_timed = 8
     t0 = time.perf_counter()
     for i in range(segments_timed):
         s2, e2, traj = seg(s2, e2, jax.random.PRNGKey(1 + i))

@@ -792,7 +792,16 @@ def _select_action(
     legal_prior = jnp.maximum(prior, 0.0)
     mass_visited = jnp.where(has_child, legal_prior, 0.0).sum(-1)
     parent_u = node_stats[:, S_U]
-    if sp.fpuParentWeight > 0.0:
+    if sp.fpuParentWeightByVisitedPolicy:
+        # searchexplorehelpers.cpp:281-284: weight the aggregated parent
+        # utility by visitedPolicyMass^pow, the raw NN utility by the rest —
+        # a barely-visited parent's FPU leans on the net, a well-explored
+        # one on its subtree average.
+        avg_w = jnp.minimum(
+            1.0, mass_visited ** sp.fpuParentWeightByVisitedPolicyPow
+        )
+        parent_u = avg_w * parent_u + (1.0 - avg_w) * tree.self_stats[bidx, node, F_U]
+    elif sp.fpuParentWeight > 0.0:
         parent_u = (
             sp.fpuParentWeight * tree.self_stats[bidx, node, F_U]
             + (1.0 - sp.fpuParentWeight) * parent_u

