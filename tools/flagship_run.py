@@ -2,20 +2,79 @@
 the reference operating point — 600-visit selfplay, gatekeeper at 200
 games / 150 visits — through >= 5 promotions, then a round-robin Elo table
 over every promoted net (+ uniform-prior 'random'), i.e. the gated Elo
-curve vs cumulative selfplay data for docs/TrainingDemo.md §2.
+curve vs cumulative selfplay data for docs/TrainingDemo.md §3.
 
-Run on the real TPU:  python tools/flagship_run.py <base_dir> [max_cycles]
-Resumable: re-running with the same base_dir continues from the promoted
-models and data already on disk (every stage is stateless+polling, like the
-reference loop).
+Run on the real TPU:  python tools/flagship_run.py <base_dir> [max_cycles] [target_promos]
+Resumable at two levels:
+  * same base_dir → continues from the promoted models + trainer checkpoint
+    + data already on disk (every stage is stateless+polling, like the
+    reference loop);
+  * fresh base_dir (e.g. a new sandbox where the gitignored .runs/ is gone)
+    → seeds itself from the committed `artifacts/flagship_b6c96/` snapshot
+    (promoted models + trainer checkpoint), and syncs that snapshot back
+    after every cycle so run progress survives across sandboxes/rounds.
+`max_cycles 0` skips the loop and just (re)fits the Elo table over the
+promoted models currently on disk.
 """
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts", "flagship_b6c96")
+
+
+def _promoted_models(base_dir: str):
+    d = os.path.join(base_dir, "models")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        m for m in os.listdir(d) if os.path.isfile(os.path.join(d, m, "model.npz"))
+    )
+
+
+def seed_from_artifacts(base_dir: str, logger) -> None:
+    """Copy the committed snapshot (promoted models + trainer checkpoint)
+    into a fresh base_dir so the run continues where the last round stopped."""
+    art = os.path.abspath(ARTIFACTS)
+    if not os.path.isdir(os.path.join(art, "models")):
+        return
+    have = set(_promoted_models(base_dir))
+    for m in sorted(os.listdir(os.path.join(art, "models"))):
+        src = os.path.join(art, "models", m)
+        if m in have or not os.path.isdir(src):
+            continue
+        shutil.copytree(src, os.path.join(base_dir, "models", m))
+        logger.write(f"flagship: seeded promoted model {m} from artifacts")
+    ck = os.path.join(art, "train", "checkpoint.ckpt")
+    dst = os.path.join(base_dir, "train", "checkpoint.ckpt")
+    if os.path.isfile(ck) and not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(ck, dst)
+        logger.write("flagship: seeded trainer checkpoint from artifacts")
+
+
+def sync_to_artifacts(base_dir: str, logger) -> None:
+    """Mirror the durable run state into the tracked artifacts dir."""
+    art = os.path.abspath(ARTIFACTS)
+    os.makedirs(os.path.join(art, "models"), exist_ok=True)
+    for m in _promoted_models(base_dir):
+        dst = os.path.join(art, "models", m)
+        if not os.path.isdir(dst):
+            shutil.copytree(os.path.join(base_dir, "models", m), dst)
+    ck = os.path.join(base_dir, "train", "checkpoint.ckpt")
+    if os.path.isfile(ck):
+        os.makedirs(os.path.join(art, "train"), exist_ok=True)
+        shutil.copy2(ck, os.path.join(art, "train", "checkpoint.ckpt"))
+    for f in ("flagship_log.txt", "flagship_elos.json"):
+        src = os.path.join(base_dir, f)
+        if os.path.isfile(src):
+            shutil.copy2(src, os.path.join(art, f))
+    logger.write(f"flagship: synced {len(_promoted_models(base_dir))} models to artifacts")
 
 
 def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5):
@@ -30,6 +89,7 @@ def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5):
     os.makedirs(base_dir, exist_ok=True)
     logger = Logger(log_to_stdout=True)
     logger.add_file(os.path.join(base_dir, "flagship_log.txt"))
+    seed_from_artifacts(base_dir, logger)
 
     lc = LoopConfig(
         num_cycles=1,  # driven one cycle at a time so we can stop at the target
@@ -45,31 +105,27 @@ def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5):
         seed=7,
     )
 
-    def promoted_models():
-        d = os.path.join(base_dir, "models")
-        if not os.path.isdir(d):
-            return []
-        return sorted(
-            m for m in os.listdir(d)
-            if os.path.isfile(os.path.join(d, m, "model.npz"))
-        )
-
-    start_promos = len(promoted_models())
     t0 = time.time()
     for cycle in range(max_cycles):
-        promos = len(promoted_models()) - start_promos
+        promos = len(_promoted_models(base_dir))
         logger.write(
-            f"flagship: cycle {cycle}, promotions so far {promos} "
+            f"flagship: cycle {cycle}, total promotions {promos} "
             f"(wall {time.time() - t0:.0f}s)"
         )
         if promos >= target_promotions:
             break
         import dataclasses
 
-        run_loop(base_dir, cfg, dataclasses.replace(lc, seed=lc.seed + cycle), logger)
+        # seed varies by total promotions + cycle so re-runs across sandboxes
+        # never replay identical selfplay streams
+        run_loop(
+            base_dir, cfg, dataclasses.replace(lc, seed=lc.seed + 13 * promos + cycle),
+            logger,
+        )
+        sync_to_artifacts(base_dir, logger)
 
     # ---- Elo table over every promoted net + uniform-prior baseline ----
-    models = promoted_models()
+    models = _promoted_models(base_dir)
     logger.write(f"flagship: final Elo round-robin over {models} + random")
     bots = {"random": uniform_eval_fn(cfg)}
     for m in models:
@@ -89,9 +145,11 @@ def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5):
     with open(os.path.join(base_dir, "flagship_elos.json"), "w") as f:
         json.dump(out, f, indent=2)
     logger.write("ELOS: " + json.dumps(table))
+    sync_to_artifacts(base_dir, logger)
 
 
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.runs/flagship"
     cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    main(base, cycles)
+    target = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    main(base, cycles, target)
