@@ -66,9 +66,10 @@ def gate_one(
 
     eval_cand, _ = _load_eval(candidate_dir, cfg)
     eval_champ, champ_name = _load_eval(champion_dir, cfg)
-    sp = SearchParams.for_selfplay()
-    # gating plays without root noise — pure strength comparison
-    sp = dataclasses_replace_no_noise(sp)
+    # the reference's gating op point: no root noise, nonzero move
+    # temperatures for cross-game opening diversity, in-tree policyOptimism
+    # (cpp/configs/training/gatekeeper1.cfg)
+    sp = SearchParams.for_gatekeeper()
 
     t0 = time.monotonic()
     result = run_match(
@@ -98,16 +99,6 @@ def gate_one(
     return promoted
 
 
-def dataclasses_replace_no_noise(sp: SearchParams) -> SearchParams:
-    import dataclasses as dc
-
-    return dc.replace(
-        sp,
-        rootNoiseEnabled=False,
-        rootDesiredPerChildVisitsCoeff=0.0,
-        chosenMoveTemperature=0.0,
-        chosenMoveTemperatureEarly=0.3,  # slight opening variety across games
-    )
 
 
 def run_gatekeeper(

@@ -30,7 +30,12 @@ def run_round_robin(
     """Returns (records, EloResult): records are (a, b, wins_a, wins_b,
     draws) per pair."""
     logger = logger or Logger(log_to_stdout=True)
-    sp = sp or SearchParams.for_tests_v2()
+    # default to the reference's match op point (match_example.cfg): no root
+    # noise, early-move temperature 0.60 → 0.20 so the games in a batched
+    # pairing diverge (a zero-temperature profile makes all same-color games
+    # of a deterministic bot identical — degenerate records and a garbage
+    # Elo fit)
+    sp = sp or SearchParams.for_match()
     records = []
     names = sorted(bots)
     for i, (a, b) in enumerate(itertools.combinations(names, 2)):

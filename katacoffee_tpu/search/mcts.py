@@ -205,6 +205,10 @@ class EvalResult(NamedTuple):
     wl: jax.Array  # [B] win-minus-loss probability
     draw: jax.Array  # [B] draw probability
     shortterm_error: jax.Array  # [B]
+    # optimistic-policy-head probabilities ([B, A], sum 1) or None when the
+    # evaluator has no such head; the search blends per policyOptimism /
+    # rootPolicyOptimism (searchparams.h:30, setup.cpp:507-512,653-659)
+    policy_opt: jax.Array | None = None
 
 
 EvalFn = Callable[[GameState, jax.Array], EvalResult]  # (states[B], rng) -> ...
@@ -302,13 +306,21 @@ def make_nn_eval_fn(
                 syms, out["optimistic_policy_logits"]
             )
         if policy_optimism > 0.0:
+            # eval-level blend (legacy knob); prefer leaving this 0 and
+            # setting SearchParams.policyOptimism/rootPolicyOptimism, which
+            # the search applies per node depth via EvalResult.policy_opt
             logits = (1.0 - policy_optimism) * logits + policy_optimism * out[
                 "optimistic_policy_logits"
             ]
         legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(states)
-        logits = jnp.where(legal, logits, -jnp.inf)
-        policy = jax.nn.softmax(logits, axis=-1)
-        policy = jnp.where(legal, policy, 0.0)
+
+        def masked_softmax(lg):
+            lg = jnp.where(legal, lg, -jnp.inf)
+            p = jax.nn.softmax(lg, axis=-1)
+            return jnp.where(legal, p, 0.0)
+
+        policy = masked_softmax(logits)
+        policy_opt = masked_softmax(out["optimistic_policy_logits"])
         # value_logits: [win, loss, draw] of player to move
         probs = jax.nn.softmax(out["value_logits"], axis=-1)
         utility = probs[:, 0] - probs[:, 1]
@@ -318,6 +330,7 @@ def make_nn_eval_fn(
             wl=utility,
             draw=probs[:, 2],
             shortterm_error=out["shortterm_error"],
+            policy_opt=policy_opt,
         )
 
     return fn
@@ -363,7 +376,10 @@ def _root_eval(
                 pol,
             )
 
-        return res._replace(policy=jax.vmap(inv_row)(sym, res.policy))
+        res = res._replace(policy=jax.vmap(inv_row)(sym, res.policy))
+        if res.policy_opt is not None:
+            res = res._replace(policy_opt=jax.vmap(inv_row)(sym, res.policy_opt))
+        return res
 
     acc = eval_under(0)
     for j in range(1, k):
@@ -375,6 +391,21 @@ def _root_eval(
 # ---------------------------------------------------------------------------
 # Small helpers
 # ---------------------------------------------------------------------------
+
+
+def _blend_policy(res: EvalResult, optimism: float) -> jax.Array:
+    """policyOptimism: geometric interpolation between the raw and
+    optimistic policies (searchparams.h:30 — the reference blends the two
+    heads' logits linearly before softmax, which equals this normalized
+    geometric mean of the probabilities). Static no-op when the evaluator
+    has no optimistic head or optimism is 0 (the defaults)."""
+    if res.policy_opt is None or optimism == 0.0:
+        return res.policy
+    mask = res.policy > 0
+    lp = jnp.log(jnp.maximum(res.policy, 1e-30))
+    lo = jnp.log(jnp.maximum(res.policy_opt, 1e-30))
+    b = jnp.where(mask, jnp.exp((1.0 - optimism) * lp + optimism * lo), 0.0)
+    return b / jnp.maximum(b.sum(-1, keepdims=True), 1e-30)
 
 
 def _eval_weight(sp: SearchParams, shortterm_error: jax.Array) -> jax.Array:
@@ -540,9 +571,10 @@ def _tree_from_root_eval(
 
     legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(root_states)
 
-    raw_prior = jnp.where(legal, res.policy, -1.0)
+    root_policy = _blend_policy(res, sp.rootPolicyOptimism)
+    raw_prior = jnp.where(legal, root_policy, -1.0)
     root_prior = _make_root_prior(
-        cfg, sp, res.policy, legal, root_states, k_noise, turn_number, root_hint,
+        cfg, sp, root_policy, legal, root_states, k_noise, turn_number, root_hint,
         root_avoid=root_avoid,
     )
 
@@ -1022,7 +1054,7 @@ def _simulate_once(
     new_terminal = new_states.done
     term_util = _terminal_utility(new_states)
     legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(new_states)
-    new_prior = jnp.where(legal, res.policy, -1.0)
+    new_prior = jnp.where(legal, _blend_policy(res, sp.policyOptimism), -1.0)
     u_raw = jnp.where(new_terminal, term_util, res.utility)
     wl_new = jnp.where(new_terminal, term_util, res.wl)
     d_new = jnp.where(new_terminal, (new_states.winner == 0).astype(jnp.float32), res.draw)
@@ -1335,7 +1367,9 @@ def _simulate_round(
         new_states = jax.tree_util.tree_map(
             functools.partial(slice_k, k=k), new_states_flat
         )
-        res = EvalResult(*(slice_k(x, k) for x in res_flat))
+        res = EvalResult(
+            *(None if x is None else slice_k(x, k) for x in res_flat)
+        )
         leaf_k = leaf[:, k]
         action_k = action[:, k]
         caught_k = caught[:, k]
@@ -1371,7 +1405,7 @@ def _simulate_round(
         new_terminal = new_states.done
         term_util = _terminal_utility(new_states)
         legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(new_states)
-        new_prior = jnp.where(legal, res.policy, -1.0)
+        new_prior = jnp.where(legal, _blend_policy(res, sp.policyOptimism), -1.0)
         u_raw = jnp.where(new_terminal, term_util, res.utility)
         wl_new = jnp.where(new_terminal, term_util, res.wl)
         d_new = jnp.where(

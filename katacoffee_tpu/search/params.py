@@ -161,6 +161,49 @@ class SearchParams:
         )
 
     @staticmethod
+    def for_gatekeeper() -> "SearchParams":
+        """Gating operating point: EXACTLY the reference's — every search key
+        in cpp/configs/training/gatekeeper1.cfg plus Setup's SETUP_FOR_MATCH
+        defaults for keys the config omits (rootNoiseEnabled false
+        setup.cpp:592, rootDesiredPerChildVisitsCoeff 0 setup.cpp:651,
+        fpuParentWeightByVisitedPolicy true with pow 1.0 setup.cpp:489).
+        Nonzero move temperatures (0.5 early → 0.2) give cross-game opening
+        diversity in gating/Elo matches without root noise."""
+        return SearchParams(
+            cpuctExploration=1.1,
+            cpuctExplorationLog=0.0,
+            fpuReductionMax=0.2,
+            rootFpuReductionMax=0.1,
+            fpuParentWeightByVisitedPolicy=True,
+            valueWeightExponent=0.5,
+            useGraphSearch=True,
+            subtreeValueBiasFactor=0.35,
+            subtreeValueBiasWeightExponent=0.8,
+            useUncertainty=True,
+            uncertaintyCoeff=0.25,
+            uncertaintyExponent=1.0,
+            policyOptimism=1.0,
+            rootPolicyOptimism=0.0,
+            useLcbForSelection=True,
+            lcbStdevs=5.0,
+            minVisitPropForLCB=0.15,
+            chosenMoveTemperature=0.2,
+            chosenMoveTemperatureEarly=0.5,
+            chosenMoveTemperatureHalflife=19.0,
+        )
+
+    @staticmethod
+    def for_match() -> "SearchParams":
+        """Model-vs-model match/Elo operating point: the gatekeeper profile
+        with match_example.cfg's move temperatures (0.60 early → 0.20,
+        cpp/configs/match_example.cfg)."""
+        import dataclasses as _dc
+
+        return _dc.replace(
+            SearchParams.for_gatekeeper(), chosenMoveTemperatureEarly=0.60
+        )
+
+    @staticmethod
     def for_selfplay() -> "SearchParams":
         """Selfplay operating point: EXACTLY the reference's — every search
         key in cpp/configs/training/selfplay1.cfg:138-185 plus Setup's
