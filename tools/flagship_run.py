@@ -132,7 +132,7 @@ def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5):
         model, params, mcfg, meta = load_exported_model(os.path.join(base_dir, "models", m))
         bots[m] = make_nn_eval_fn(cfg, model, params)
     records, elos = run_round_robin(
-        cfg, bots, num_games_per_pair=60, num_visits=150,
+        cfg, bots, num_games_per_pair=120, num_visits=150,
         seed=123, sgf_dir=os.path.join(base_dir, "elosgfs"), logger=logger,
     )
     table = {k: [round(v[0], 1), round(v[1], 1)] for k, v in elos.as_dict().items()}

@@ -140,12 +140,13 @@ def generate(minutes: float = 3.0, max_sgfs: int = 60) -> None:
     models = os.path.join(workdir, "models")
     outdir = os.path.join(workdir, "out")
     os.makedirs(os.path.join(models, "random-b6c96"), exist_ok=True)
-    model_gz = os.path.join(REPO, "refbuild", "coffee-b6c96-random.bin.gz")
+    # make_model.py writes models/coffee-b6c96-random.bin.gz under its cwd
+    model_gz = os.path.join(REPO, "refbuild", "models", "coffee-b6c96-random.bin.gz")
     if not os.path.exists(model_gz):
         subprocess.run(
-            [sys.executable, os.path.join(REPO, "refbuild_patches", "make_model.py"),
-             model_gz],
+            [sys.executable, os.path.join(REPO, "refbuild_patches", "make_model.py")],
             check=True,
+            cwd=os.path.join(REPO, "refbuild"),
         )
     import shutil
 
