@@ -91,7 +91,9 @@ def gate_one(
             with open(os.path.join(sgf_dir, f"game{i:04d}.sgf"), "w") as f:
                 f.write(text + "\n")
 
-    promoted = result.score_a > gc.required_candidate_win_prop
+    # the candidate wins ties ("Candidate wins ties", gatekeeper.cpp:568-569:
+    # reject only when the baseline strictly outscores the candidate)
+    promoted = result.score_a >= gc.required_candidate_win_prop
     dest_root = "models" if promoted else "rejectedmodels"
     os.makedirs(os.path.join(base_dir, dest_root), exist_ok=True)
     shutil.move(candidate_dir, os.path.join(base_dir, dest_root, cand_name))
