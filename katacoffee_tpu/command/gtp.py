@@ -66,11 +66,15 @@ KNOWN_COMMANDS = [
     "kata-get-param",
     "kata-set-param",
     "kata-list-params",
+    "kgs-rules",
     "genmove",
     "genmove_debug",
     "search_debug",
     "clear_cache",
     "showboard",
+    "fixed_handicap",
+    "place_free_handicap",
+    "set_free_handicap",
     "time_settings",
     "kgs-time_settings",
     "time_left",
@@ -673,6 +677,36 @@ class GTPEngine:
                 self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
             elif cmd == "kata-set-rules" and args and args[0].lower() != "coffee":
                 raise ValueError("only coffee rules are supported")
+        elif cmd == "kgs-rules":
+            # gtp.cpp:2186-2199: KGS rules names map to Go rulesets, which do
+            # not exist in Coffee; the argument is validated like the
+            # reference and then accepted-but-inert (komi-style), since every
+            # KGS ruleset plays identically under Coffee rules
+            if not args:
+                raise ValueError("Expected one argument kgs-rules")
+            if args[0].lower() not in ("chinese", "aga", "new_zealand", "japanese"):
+                raise ValueError(f"Unknown rules '{args[0]}'")
+        elif cmd in ("fixed_handicap", "place_free_handicap"):
+            # gtp.cpp:2738-2776 argument validation, then: Coffee has no
+            # handicap placement (no star points, no free placement without
+            # a direction), so a well-formed request is itself an error
+            if len(args) != 1:
+                raise ValueError(
+                    f"Expected one argument for {cmd} but got '{' '.join(args)}'"
+                )
+            try:
+                n = int(args[0])
+            except ValueError:
+                raise ValueError(f"Could not parse number of handicap stones: '{args[0]}'")
+            if n < 2:
+                raise ValueError(f"Number of handicap stones less than 2: '{args[0]}'")
+            if self.engine.move_history or self.engine.stone_count() > 0:
+                raise ValueError("Board is not empty")
+            raise ValueError("Handicap is not supported in coffee")
+        elif cmd == "set_free_handicap":
+            if self.engine.move_history or self.engine.stone_count() > 0:
+                raise ValueError("Board is not empty")
+            raise ValueError("Handicap is not supported in coffee")
         elif cmd == "kata-list-params":
             # maxVisits plus every SearchParams field (a superset of the
             # reference's dynamic-param list, gtp.cpp kata-set-param)
@@ -708,12 +742,15 @@ class GTPEngine:
             resp = self._genmove(
                 pla, debug=cmd != "genmove", play=cmd != "search_debug"
             )
-        elif cmd in ("lz-genmove_analyze", "kata-genmove_analyze"):
+        elif cmd in ("genmove_analyze", "lz-genmove_analyze", "kata-genmove_analyze"):
+            # bare genmove_analyze is dispatched but NOT listed in
+            # list_commands, exactly like the reference (gtp.cpp:79,2680)
             spec = self._parse_analyze_args(args)
             if spec["pla"] != self.engine.to_move:
                 raise IllegalMoveError("genmove for the player not to move")
             resp = self._run_analyze(spec, genmove=True)
-        elif cmd in ("lz-analyze", "kata-analyze"):
+        elif cmd in ("analyze", "lz-analyze", "kata-analyze"):
+            # bare analyze dispatched-but-unlisted (gtp.cpp:82,3034)
             spec = self._parse_analyze_args(args)
             resp = self._run_analyze(spec)
         elif cmd == "clear_cache":

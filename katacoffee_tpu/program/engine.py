@@ -152,6 +152,11 @@ class Engine:
         `play` support re-root the search this way)."""
         self.state = self.state._replace(to_move=jnp.asarray(pla, jnp.int8))
 
+    def stone_count(self) -> int:
+        """Stones on the current board (Board::isEmpty role for the GTP
+        handicap-command validation, gtp.cpp:2751)."""
+        return int((np.asarray(self.state.board) != 0).sum())
+
     def legal_actions(self) -> np.ndarray:
         return np.asarray(self._legal1(self.state))
 

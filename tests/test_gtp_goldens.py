@@ -39,6 +39,7 @@ def run_script(name: str) -> str:
         "gtp_printsgf.txt",
         "gtp_errors.txt",
         "gtp_analyze.txt",
+        "gtp_handicap.txt",
     ],
 )
 def test_gtp_golden(script):
