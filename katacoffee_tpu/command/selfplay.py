@@ -109,6 +109,12 @@ class SelfplayConfig:
     # start at mined positions with the recorded move as rootHintLoc
     hintposes_dir: str | None = None
     hintposes_prob: float = 0.0
+    # tree-position recording (recordTreePositions/recordTreeThreshold/
+    # recordTreeTargetWeight, playsettings.h:62-64 — default-off like the
+    # reference, which has no config key for it at all)
+    record_tree_positions: bool = False
+    record_tree_threshold: int = 0
+    record_tree_target_weight: float = 0.0
 
 
 def run_selfplay_daemon(
@@ -203,6 +209,9 @@ def run_selfplay_daemon(
         ),
         early_fork_game_prob=spc.early_fork_game_prob,
         fork_game_prob=spc.fork_game_prob,
+        record_tree_positions=spc.record_tree_positions,
+        record_tree_threshold=spc.record_tree_threshold,
+        record_tree_target_weight=spc.record_tree_target_weight,
     )
     if mesh_active and settings.fork_pool_capacity % cap_round != 0:
         settings = dataclasses.replace(
@@ -320,6 +329,10 @@ def run_selfplay_daemon(
         pending_trajs = []
         batch = finalize_fn(merged)
         total_rows += writer.add_batch(batch)
+        if settings.record_tree_positions and settings.record_tree_target_weight > 0:
+            from katacoffee_tpu.selfplay.treerecord import tree_position_rows
+
+            total_rows += writer.add_batch(tree_position_rows(cfg, settings, merged))
         if use_game_forks and fork_fn is not None:
             from katacoffee_tpu.selfplay.forking import (
                 extract_fork_candidates,
@@ -476,6 +489,9 @@ def main(argv, **kw):
         fork_game_prob=c.get_float("forkGameProb", 0.010),
         hintposes_dir=c.get_string("hintPosesFromSgfDir", "") or None,
         hintposes_prob=c.get_float("hintPosesProb", 0.0),
+        record_tree_positions=c.get_bool("recordTreePositions", False),
+        record_tree_threshold=c.get_int("recordTreeThreshold", 0),
+        record_tree_target_weight=c.get_float("recordTreeTargetWeight", 0.0),
     )
     logger = Logger(log_to_stdout=True)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -112,6 +112,17 @@ class SelfplaySettings:
     early_fork_game_max_choices: int = 12
     fork_game_max_choices: int = 36
     fork_pool_capacity: int = 64
+    # Tree-position recording (recordTreePositions, play.cpp:710-855;
+    # playsettings.h:62-64 — default-off in the reference, no config key):
+    # after each searched move, interior tree nodes reached by best-move
+    # paths with >= record_tree_threshold visits become extra
+    # side-position-style rows at record_tree_target_weight
+    # (selfplay/treerecord.py). Capacity is the static per-(game, move)
+    # row cap (TPU deviation: lowest-visits overflow dropped).
+    record_tree_positions: bool = False
+    record_tree_threshold: int = 0
+    record_tree_target_weight: float = 0.0
+    record_tree_capacity: int = 8
     # Tree reuse between moves (beginSearch reuse, search.cpp:262-331):
     # each move's search starts from the played child's subtree and only
     # plays out the visit deficit — reused visits count toward num_sims
@@ -142,6 +153,12 @@ class Trajectory(NamedTuple):
     fork_valid: jax.Array  # [T, B] fork lane holds a real side position
     hint_first: jax.Array  # [T, B] row searched with an active rootHintLoc
     hint_action: jax.Array  # [T, B] the active rootHintLoc action (-1 none)
+    # recorded interior tree positions (recordTreePositions; [T, B, M, ...],
+    # M = record_tree_capacity, 0 when recording is off)
+    tree_pos_states: GameState
+    tree_pos_policy: jax.Array  # [T, B, M, A]
+    tree_pos_value: jax.Array  # [T, B, M, 3] win/loss/draw, node mover persp.
+    tree_pos_valid: jax.Array  # [T, B, M]
 
 
 class TrainingBatch(NamedTuple):
@@ -269,6 +286,22 @@ def run_selfplay_segment(
 
         vals = mcts.root_values(tree)
         nxt = jax.vmap(functools.partial(step, cfg))(st, action)
+        # side-position forking (play.cpp:1328-1345) — computed before tree
+        # recording because the fork move joins the root exclusions below
+        if settings.side_position_prob > 0.0:
+            k_fork, k_forkmove = jax.random.split(jax.random.fold_in(key, 11))
+            fork_move, fork_ok = _sample_fork_move(cfg, k_forkmove, raw_policy, action)
+            fork_st = jax.vmap(functools.partial(step, cfg))(st, fork_move)
+            do_fork = (
+                (jax.random.uniform(k_fork, (B,)) < settings.side_position_prob)
+                & ~is_init
+            )
+            # a finished fork is dropped (play.cpp:1340-1343)
+            fork_valid = do_fork & fork_ok & ~fork_st.done
+        else:
+            fork_move = jnp.full((B,), -1, jnp.int32)
+            fork_valid = jnp.zeros((B,), bool)
+            fork_st = st
         rec = dict(
             states=st,
             policy_target=pt,
@@ -286,21 +319,31 @@ def run_selfplay_segment(
             hint_first=hint_act >= 0,
             hint_action=hint_act,
         )
-        # side-position forking (play.cpp:1328-1345)
-        if settings.side_position_prob > 0.0:
-            k_fork, k_forkmove = jax.random.split(jax.random.fold_in(key, 11))
-            fork_move, fork_ok = _sample_fork_move(cfg, k_forkmove, raw_policy, action)
-            fork_st = jax.vmap(functools.partial(step, cfg))(st, fork_move)
-            do_fork = (
-                (jax.random.uniform(k_fork, (B,)) < settings.side_position_prob)
-                & ~is_init
+        rec["fork_valid"] = fork_valid
+        rec["fork_states"] = fork_st
+        # tree-position recording (recordTreePositions, play.cpp:1348-1365):
+        # root exclusions are the played move and this turn's side fork move
+        if settings.record_tree_positions and settings.record_tree_target_weight > 0:
+            from katacoffee_tpu.selfplay.treerecord import record_tree_positions
+
+            tp_states, tp_policy, tp_value, tp_valid = record_tree_positions(
+                cfg, tree,
+                exclude0=action,
+                exclude1=jnp.where(fork_valid, fork_move, -1),
+                row_ok=~is_init,
+                threshold=settings.record_tree_threshold,
+                capacity=settings.record_tree_capacity,
             )
-            # a finished fork is dropped (play.cpp:1340-1343)
-            rec["fork_valid"] = do_fork & fork_ok & ~fork_st.done
-            rec["fork_states"] = fork_st
+            rec.update(
+                tree_pos_states=tp_states, tree_pos_policy=tp_policy,
+                tree_pos_value=tp_value, tree_pos_valid=tp_valid,
+            )
         else:
-            rec["fork_valid"] = jnp.zeros((B,), bool)
-            rec["fork_states"] = st
+            from katacoffee_tpu.selfplay.treerecord import (
+                empty_tree_position_fields,
+            )
+
+            rec.update(empty_tree_position_fields(cfg, tree.states, B))
         # auto-reset finished games (optionally from a start position)
         fresh = jax.vmap(lambda _: init_state(cfg))(jnp.arange(st.board.shape[0]))
         from_startpos = jnp.zeros((B,), bool)
