@@ -47,6 +47,7 @@ Opening book:
 Other:
   version      print version
   runtests     run the pytest suite
+  printclockinfo  print the monotonic-clock resolution (timing sanity)
 """
 
 
@@ -59,6 +60,15 @@ def main(argv: list[str] | None = None) -> int:
 
     if cmd == "version":
         print(__version__)
+        return 0
+    if cmd == "printclockinfo":
+        # misc.cpp:564-575 role: sanity-print the engine's timing clock
+        import time
+
+        info = time.get_clock_info("monotonic")
+        print(f"Clock: time.monotonic ({info.implementation})")
+        print(f"Resolution in seconds: {info.resolution}")
+        print(f"Ticks since epoch: {time.monotonic_ns()}")
         return 0
     if cmd == "gtp":
         from katacoffee_tpu.command.gtp import main as m
