@@ -111,9 +111,17 @@ def gather_rows(table: jax.Array, idx: jax.Array, use_pallas: bool = False) -> j
     Status (measured on v5e, 2026-08): at the 5×5 operating shapes
     (B=256, N≈600, A=100) XLA's one-hot einsum is FASTER than this kernel
     (~120µs vs ~220µs per call — the kernel's VMEM one-hot avoids HBM
-    materialization but per-program overheads dominate at these sizes), so
-    the default stays on the einsum; the kernel is kept for the larger
-    board shapes where the einsum's B·A·N materialization grows ruinous.
+    materialization but per-program overheads dominate at these sizes).
+    Round-3 in-search A/B at the LARGE-board shapes the kernel was built
+    for (tools/pallas_gather_ab.py): the einsum still wins everywhere —
+    10×10w5 600-visit selfplay, B=256: 40.5k vs 35.8k visits/s; B=512
+    (79M one-hot elems per fetch): 36.4k vs 30.2k. Cause: the grid
+    re-DMAs the (tb, N, S) table block once per action-chunk program, so
+    table traffic scales with A_pad/ca and outweighs the einsum's one-hot
+    materialization at every reachable B·A·N. Tree results are
+    bit-identical between paths (the A/B's equivalence check). Kept as a
+    tested escape hatch; do not re-attempt as a perf lever without first
+    making the table block resident across the action-chunk grid axis.
 
     Further fusion (PUCT selection math into the kernel) was ANALYZED AND
     REJECTED for these shapes: per-game dynamic node rows either require

@@ -471,14 +471,32 @@ def _bias_avg(sp: SearchParams, tree: Tree, bidx, key: jax.Array) -> jax.Array:
     )
 
 
+# Effectively-infinite threshold = the einsum is ALWAYS used. An in-search
+# A/B on the real chip (tools/pallas_gather_ab.py, round 3) measured the
+# Pallas VMEM-tiled gather LOSING at every large-board selfplay shape it
+# was built for — 10×10w5 B=256: 35.8k vs 40.5k visits/s; B=512 (79M
+# one-hot elems/fetch): 30.2k vs 36.4k — the kernel re-DMAs the [tb, N, 8]
+# table block per action-chunk program, which outweighs the einsum's
+# one-hot HBM materialization at every reachable B·A·N. Tree results are
+# bit-identical between the paths (the A/B's equivalence check), so this
+# switch is kept as a tested escape hatch, not a perf lever.
+_PALLAS_GATHER_MIN_ELEMS = 1 << 62
+
+
 def _gather_child_stats(tree: Tree, bidx, node):
     """Raw stat rows of every child of `node`: [B, A, 8]. One one-hot einsum
     fetches all channels of all children at once (the profiled fast path —
-    see module docstring). Missing children give zero rows."""
+    see module docstring and _PALLAS_GATHER_MIN_ELEMS for the measured
+    kernel alternative). Missing children give zero rows."""
     N = tree.stats.shape[1]
     child = tree.children[bidx, node]  # [B, A]
+    B, A = child.shape
     has = child >= 0
     cidx = jnp.maximum(child, 0)
+    if B * A * N > _PALLAS_GATHER_MIN_ELEMS:
+        from katacoffee_tpu.ops import gather_rows
+
+        return gather_rows(tree.stats, cidx, use_pallas=True) * has[..., None]
     onehot = jax.nn.one_hot(cidx, N, dtype=jnp.float32) * has[..., None]
     return jnp.einsum("ban,bns->bas", onehot, tree.stats)
 
