@@ -72,7 +72,7 @@ def main(out_path=None):
     ok = check_tree_equivalence()
     rows.append({"check": "tree_equivalence", "ok": ok})
     saved = mcts._PALLAS_GATHER_MIN_ELEMS
-    for mode, thresh in (("einsum", 1 << 62), ("auto", saved)):
+    for mode, thresh in (("einsum", 1 << 62), ("pallas", 0)):
         mcts._PALLAS_GATHER_MIN_ELEMS = thresh
         for shape in SHAPES:
             r = measure(*shape)
