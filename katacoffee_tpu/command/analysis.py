@@ -89,6 +89,7 @@ class AnalysisEngine:
         default_visits: int = 100,
         logger=None,
         raw_forward_factory=None,
+        seed: int = 0,
     ):
         """`eval_fn_factory(cfg) -> EvalFn` (None = uniform priors).
         `raw_forward_factory(cfg) -> (states -> model head dict)` enables
@@ -99,10 +100,15 @@ class AnalysisEngine:
         self.raw_forward_factory = raw_forward_factory
         self.default_visits = default_visits
         self.logger = logger
+        # analysis.cpp:127-130 logging toggles (set from config in main())
+        self.log_all_requests = False
+        self.log_all_responses = False
+        self.log_errors_and_warnings = True
+        self.log_search_info = False
         self._search_cache: dict[tuple, callable] = {}
         self._eval_cache: dict[GameConfig, mcts.EvalFn] = {}
         self._raw_cache: dict[GameConfig, callable] = {}
-        self._rng = jax.random.PRNGKey(0)
+        self._rng = jax.random.PRNGKey(seed)
         # device-call counter (observability + tests of cross-query batching)
         self.num_search_calls = 0
 
@@ -406,6 +412,12 @@ class AnalysisEngine:
             avoid_until[row : row + n] = p["avoid_until"]
             row += n
         self.num_search_calls += 1
+        if self.logger is not None and self.log_search_info:
+            self.logger.write(
+                f"Search: queries={[p['qid'] for p in preps]} lanes={lanes}"
+                f" batch={batch} visits={max_visits}"
+                f" board={cfg.x_size}x{cfg.y_size}w{cfg.win_len}"
+            )
         tree = self._search_fn(cfg, batch, max_visits, sp_q)(
             roots, self._next_key(), jnp.asarray(avoid), jnp.asarray(avoid_until)
         )
@@ -454,6 +466,12 @@ class AnalysisEngine:
             yield from results
             start, cont = self._stream_fns(cfg, len(live), max_visits, sp_q)
             self.num_search_calls += 1
+            if self.logger is not None and self.log_search_info:
+                self.logger.write(
+                    f"Search: queries=[{qid!r}] lanes={len(live)} streaming"
+                    f" visits={max_visits}"
+                    f" board={cfg.x_size}x{cfg.y_size}w{cfg.win_len}"
+                )
             tree = start(roots, self._next_key(), avoid_j, until_j)
             done = 1
             vps = getattr(self, "_vps", 200.0)
@@ -742,8 +760,17 @@ class AnalysisEngine:
         outfile = outfile or sys.stdout
 
         def emit(obj):
-            outfile.write(json.dumps(obj) + "\n")
+            line = json.dumps(obj)
+            outfile.write(line + "\n")
             outfile.flush()
+            if self.logger is not None and (
+                self.log_all_responses
+                or (
+                    self.log_errors_and_warnings
+                    and ("error" in obj or "warning" in obj)
+                )
+            ):
+                self.logger.write("Response: " + line)
 
         pending: list = []
         seq = 0
@@ -757,6 +784,8 @@ class AnalysisEngine:
             line = line.strip()
             if not line:
                 return
+            if self.logger is not None and self.log_all_requests:
+                self.logger.write("Request: " + line)
             try:
                 query = json.loads(line)
             except json.JSONDecodeError as e:
@@ -893,10 +922,31 @@ def main(argv, search_params=None, eval_fn_factory=None, **kw):
     args, _ = ap.parse_known_args(argv)
 
     sp = search_params or SearchParams.for_tests_v2()
+    engine_kw = {}
     if args.config or args.override_config:
+        from katacoffee_tpu.utils import Logger
+
         c = ConfigParser(args.config, overrides=args.override_config) if args.config else ConfigParser(text="")
         if args.override_config and not args.config:
             c.apply_overrides(args.override_config)
         sp = load_search_params(c, sp)
         kw.setdefault("default_visits", c.get_int("maxVisits", 100))
-    AnalysisEngine(sp, eval_fn_factory, **kw).run()
+        # logging + determinism surface (analysis.cpp:111-130): logFile /
+        # logDir / logDirDated / logToStderr sinks, per-line toggles, and
+        # forDeterministicTesting pinning the engine seed
+        kw.setdefault("logger", Logger.from_config(c, default_to_stderr=False))
+        engine_kw["log_all_requests"] = c.get_bool("logAllRequests", False)
+        engine_kw["log_all_responses"] = c.get_bool("logAllResponses", False)
+        engine_kw["log_errors_and_warnings"] = c.get_bool("logErrorsAndWarnings", True)
+        engine_kw["log_search_info"] = c.get_bool("logSearchInfo", False)
+        if not c.get_bool("forDeterministicTesting", False):
+            import secrets
+
+            kw.setdefault("seed", secrets.randbits(30))
+        c.get_int("numAnalysisThreads", 1)  # accepted for compat: concurrent
+        # queries batch into one device call here (see _run_batch)
+        c.warn_unused(Logger(log_to_stderr=True))
+    engine = AnalysisEngine(sp, eval_fn_factory, **kw)
+    for k, v in engine_kw.items():
+        setattr(engine, k, v)
+    engine.run()

@@ -136,6 +136,9 @@ class GTPEngine:
         self._io = None  # (infile, outfile) while run() is active
         self._cmd_id = ""
         self._already_responded = False
+        # gtp.cpp `logAllGTPCommunication` (gtp_example.cfg:30): log every
+        # controller line and engine response to the configured sinks
+        self.log_all_gtp = True
 
     def log(self, msg: str):
         if self.logger is not None:
@@ -898,10 +901,14 @@ class GTPEngine:
         # analyze's select()-based interrupt check must see commands that
         # arrive while an analysis is running
         for line in iter(infile.readline, ""):
+            if self.log_all_gtp and line.strip():
+                self.log("Controller: " + line.strip())
             result = self.handle(line)
             if result == "":
                 continue
             out, quit_ = result
+            if self.log_all_gtp:
+                self.log("Response: " + out)
             outfile.write(out + "\n\n")
             outfile.flush()
             if quit_:
@@ -931,7 +938,16 @@ def main(argv: list[str], cfg=None, search_params=None, eval_fn=None, **kw):
         sp = load_search_params(c, sp)
         max_visits = c.get_int("maxVisits", max_visits)
         c.get_bool("logToStdoutInsteadOfFile", False)  # accepted for compat
+        # gtp.cpp logging surface: logFile/logDir/logDirDated sinks plus
+        # logAllGTPCommunication / logSearchInfo toggles
+        kw.setdefault("logger", Logger.from_config(c))
+        log_all_gtp = c.get_bool("logAllGTPCommunication", True)
+        c.get_bool("logSearchInfo", False)  # accepted (search dumps are
+        # available via genmove_debug / kata-analyze rather than the log)
         c.warn_unused(Logger(log_to_stderr=True))
+    else:
+        log_all_gtp = True
     cfg = cfg or GameConfig(5, 5, 4)
     eng = GTPEngine(cfg, sp, eval_fn, max_visits=max_visits, **kw)
+    eng.log_all_gtp = log_all_gtp
     eng.run()

@@ -316,6 +316,52 @@ class TestAnalysisEngine:
         assert any("error" in l and "bad json" in l["error"] for l in lines)
         assert any(l.get("id") == "a" and "moveInfos" in l for l in lines)
 
+    def test_logging_toggles(self, tmp_path):
+        """logAllRequests/logAllResponses/logSearchInfo sinks
+        (analysis.cpp:127-130 roles) write to the configured log file."""
+        import io
+
+        from katacoffee_tpu.utils import Logger
+
+        eng = self.make()
+        log_path = tmp_path / "analysis.log"
+        logger = Logger()
+        logger.add_file(str(log_path))
+        eng.logger = logger
+        eng.log_all_requests = True
+        eng.log_all_responses = True
+        eng.log_search_info = True
+        inp = io.StringIO(
+            json.dumps({"id": "a", "moves": [], "maxVisits": 4})
+            + "\n"
+            + json.dumps({"id": "bad", "moves": [["B", "Z9 north"]]})
+            + "\n"
+        )
+        out = io.StringIO()
+        eng.run(inp, out)
+        text = log_path.read_text()
+        assert 'Request: {"id": "a"' in text
+        assert 'Search: queries=' in text
+        assert '"moveInfos"' in text  # responses logged
+        assert '"error"' in text  # errors logged
+
+    def test_logger_from_config(self, tmp_path):
+        """Logger.from_config honors logFile / logDir / logToStderr
+        (logger.cpp config keys)."""
+        from katacoffee_tpu.utils import ConfigParser, Logger
+
+        d = tmp_path / "logs"
+        c = ConfigParser(
+            text=f"logFile = {tmp_path}/one.log\nlogDir = {d}\nlogToStderr = false\n"
+        )
+        lg = Logger.from_config(c)
+        assert not lg.is_logging_to_stderr
+        lg.write("hello sinks")
+        lg.close()
+        assert "hello sinks" in (tmp_path / "one.log").read_text()
+        (logfile,) = list(d.iterdir())
+        assert "hello sinks" in logfile.read_text()
+
 
 class TestMatch:
     def test_uniform_selfmatch_is_fair(self):
