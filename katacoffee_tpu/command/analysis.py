@@ -763,14 +763,16 @@ class AnalysisEngine:
             line = json.dumps(obj)
             outfile.write(line + "\n")
             outfile.flush()
-            if self.logger is not None and (
-                self.log_all_responses
-                or (
-                    self.log_errors_and_warnings
-                    and ("error" in obj or "warning" in obj)
-                )
-            ):
-                self.logger.write("Response: " + line)
+            if self.logger is not None:
+                # analysis.cpp:241-261: error/warning responses log with
+                # 'Error: '/'Warning: ' prefixes; 'Response: ' is the
+                # log_all_responses echo of ordinary responses.
+                if self.log_errors_and_warnings and "error" in obj:
+                    self.logger.write("Error: " + line)
+                elif self.log_errors_and_warnings and "warning" in obj:
+                    self.logger.write("Warning: " + line)
+                elif self.log_all_responses:
+                    self.logger.write("Response: " + line)
 
         pending: list = []
         seq = 0
@@ -934,7 +936,9 @@ def main(argv, search_params=None, eval_fn_factory=None, **kw):
         # logging + determinism surface (analysis.cpp:111-130): logFile /
         # logDir / logDirDated / logToStderr sinks, per-line toggles, and
         # forDeterministicTesting pinning the engine seed
-        kw.setdefault("logger", Logger.from_config(c, default_to_stderr=False))
+        # analysis.cpp:116-118: logToStderrDefault=true for the analysis
+        # engine — errors/warnings must reach stderr even with no sink keys.
+        kw.setdefault("logger", Logger.from_config(c, default_to_stderr=True))
         engine_kw["log_all_requests"] = c.get_bool("logAllRequests", False)
         engine_kw["log_all_responses"] = c.get_bool("logAllResponses", False)
         engine_kw["log_errors_and_warnings"] = c.get_bool("logErrorsAndWarnings", True)

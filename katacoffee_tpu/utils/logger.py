@@ -47,6 +47,11 @@ class Logger:
             log_to_stdout=cfg.get_bool("logToStdout", default_to_stdout),
             log_to_stderr=cfg.get_bool("logToStderr", default_to_stderr),
         )
+        # Accepted-but-ignored reference keys (logger.cpp:30-40): timestamps
+        # are always on here, and config-contents echoing is not implemented;
+        # consuming them keeps warn_unused quiet on reference configs.
+        cfg.get_bool("logTimeStamp", True)
+        cfg.get_bool("logConfigContents", True)
         now = datetime.datetime.now()
         stamp = now.strftime("%Y%m%d-%H%M%S") + f"-{os.getpid()}"
         if cfg.contains("logFile"):
