@@ -87,6 +87,7 @@ and flips at use; negamax removes the flip bookkeeping.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Callable, NamedTuple
 
 import jax
@@ -235,6 +236,41 @@ def uniform_eval_fn(cfg: GameConfig) -> EvalFn:
             wl=jnp.zeros((b,), jnp.float32),
             draw=jnp.zeros((b,), jnp.float32),
             shortterm_error=jnp.full((b,), 0.5, jnp.float32),
+        )
+
+    return fn
+
+
+def gaussian_prior_eval_fn(cfg: GameConfig) -> EvalFn:
+    """EXACT mirror of the reference's randomized debugSkipNeuralNet
+    (nneval.cpp:442-500): per eval, policy logits are standard gaussians at
+    the dir-NORTH positions (the fork writes only pos = y*X+x, the first
+    Y*X entries of the dir-major layout) and 0 for the other directions,
+    softmaxed over legal moves; value is a 2-way softmax over two N(0,0.2)
+    logits. Used by the cross-engine match harness so both engines search
+    under the same knowledge-free prior distribution."""
+
+    def fn(states: GameState, rng: jax.Array) -> EvalResult:
+        legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(states)
+        b, a = legal.shape
+        k_pol, k_val = jax.random.split(rng)
+        logits = jnp.zeros((b, a), jnp.float32)
+        logits = logits.at[:, : cfg.area].set(
+            jax.random.normal(k_pol, (b, cfg.area))
+        )
+        lg = jnp.where(legal, logits, -jnp.inf)
+        policy = jnp.where(legal, jax.nn.softmax(lg, axis=-1), 0.0)
+        vl = jax.random.normal(k_val, (b, 2)) * 0.2
+        wl2 = jax.nn.softmax(vl, axis=-1)
+        utility = wl2[:, 0] - wl2[:, 1]
+        # shortterm pre-softplus is 0 (nneval.cpp:496) -> softplus(0)*0.5
+        st = jnp.full((b,), 0.5 * math.log(2.0), jnp.float32)
+        return EvalResult(
+            policy=policy,
+            utility=utility,
+            wl=utility,
+            draw=jnp.zeros((b,), jnp.float32),
+            shortterm_error=st,
         )
 
     return fn
