@@ -101,12 +101,15 @@ class Bridge:
             [KATAGO, "coffeebridge", "-config", cfg_path, "-model", model_path],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=open("/tmp/bridge_stderr.log","w"),
             text=True,
             bufsize=1,
         )
 
     def cmd(self, line: str) -> str:
+        if os.environ.get("BRIDGE_CMDLOG"):
+            with open(os.environ["BRIDGE_CMDLOG"], "a") as _f:
+                _f.write(line + "\n")
         self.proc.stdin.write(line + "\n")
         self.proc.stdin.flush()
         out = self.proc.stdout.readline().strip()
