@@ -80,11 +80,16 @@ def main(argv: list[str] | None = None) -> int:
             model_dir = args[i + 1]
             del args[i : i + 2]
             from katacoffee_tpu.dataio.checkpoints import load_exported_model
-            from katacoffee_tpu.search import make_nn_eval_fn, make_raw_forward_fn
+            from katacoffee_tpu.search import (
+                make_cached_raw_forward_fn,
+                make_nn_eval_fn,
+            )
 
             model, params, cfg, meta = load_exported_model(model_dir)
             eval_fn = make_nn_eval_fn(cfg, model, params)
-            raw_fwd = make_raw_forward_fn(cfg, model, params)
+            # NNCacheTable role: repeated kata-raw-nn / ownership queries of
+            # the same position skip the device forward (nneval.h:18-42)
+            raw_fwd = make_cached_raw_forward_fn(cfg, model, params)
             m(args, cfg=cfg, eval_fn=eval_fn, raw_fwd=raw_fwd)
             return 0
         m(args)
@@ -105,10 +110,10 @@ def main(argv: list[str] | None = None) -> int:
             def factory(cfg, _m=model, _p=params):
                 return make_nn_eval_fn(cfg, _m, _p)
 
-            from katacoffee_tpu.search import make_raw_forward_fn
+            from katacoffee_tpu.search import make_cached_raw_forward_fn
 
             def raw_factory(cfg, _m=model, _p=params):
-                return make_raw_forward_fn(cfg, _m, _p)
+                return make_cached_raw_forward_fn(cfg, _m, _p)
 
             m(args, eval_fn_factory=factory, raw_forward_factory=raw_factory)
             return 0

@@ -11,6 +11,7 @@ from katacoffee_tpu.search.mcts import (
     select_moves,
     uniform_eval_fn,
     make_nn_eval_fn,
+    make_cached_raw_forward_fn,
     make_raw_forward_fn,
 )
 from katacoffee_tpu.search.timecontrols import TimeControls, visits_for_time

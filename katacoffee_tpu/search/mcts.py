@@ -290,6 +290,68 @@ def make_raw_forward_fn(cfg: GameConfig, model, params):
     return jax.jit(fn)
 
 
+class NNResultCache:
+    """Serving-side NN result cache — the role of the reference's
+    NNCacheTable (`cpp/neuralnet/nneval.h:18-42`, hash-keyed shared_ptr
+    entries) for the protocol surfaces. The in-search path deliberately has
+    no cache (transposition dedup re-uses evals in-graph; a host cache
+    would force a device round-trip per leaf), but GTP / analysis re-query
+    the same positions across requests (kata-raw-nn, includeOwnership
+    recomputes, repeated analyze of a board) and each query is a full-head
+    forward.
+
+    Keyed EXACTLY (board bytes + to_move + lastLoc) rather than by zobrist
+    hash: serving batches are tiny, so exactness is free and collision-proof
+    where the reference needs 128-bit hashes. LRU via dict insertion order.
+    Batch policy: all rows hit -> stacked cached result, zero device work;
+    any miss -> forward the WHOLE batch once (keeps one compiled shape) and
+    insert every row."""
+
+    def __init__(self, forward, capacity: int = 4096):
+        self._forward = forward
+        self._capacity = capacity
+        self._store: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _key(states: GameState, i: int) -> tuple:
+        return (
+            np.asarray(states.board[i]).tobytes(),
+            int(states.to_move[i]),
+            int(states.last_spot[i]),
+            int(states.last_dir[i]),
+        )
+
+    def __call__(self, states: GameState):
+        b = int(states.board.shape[0])
+        keys = [self._key(states, i) for i in range(b)]
+        cached = [self._store.get(k) for k in keys]
+        if all(c is not None for c in cached):
+            self.hits += b
+            for k in keys:  # refresh LRU order
+                self._store[k] = self._store.pop(k)
+            return {
+                name: np.stack([c[name] for c in cached])
+                for name in cached[0]
+            }
+        self.misses += b
+        out = self._forward(states)
+        out_np = {k: np.asarray(v) for k, v in out.items()}
+        for i, k in enumerate(keys):
+            self._store.pop(k, None)
+            self._store[k] = {name: v[i] for name, v in out_np.items()}
+        while len(self._store) > self._capacity:
+            self._store.pop(next(iter(self._store)))
+        return out_np
+
+
+def make_cached_raw_forward_fn(cfg: GameConfig, model, params, capacity: int = 4096):
+    """make_raw_forward_fn wrapped in an NNResultCache (the serving stack's
+    default; cli.py wires this for gtp/analysis)."""
+    return NNResultCache(make_raw_forward_fn(cfg, model, params), capacity)
+
+
 def make_nn_eval_fn(
     cfg: GameConfig,
     model,
