@@ -373,61 +373,187 @@ class Book:
 
     # ------------------------------------------------------------------
 
+    def _board_svg(self, n, last: tuple | None = None) -> str:
+        """Static SVG board (bookcssjs.cpp's rendered-board role): grid,
+        stones, and an optional last-move marker with its direction arrow."""
+        cfg = self.cfg
+        CELL = 36
+        w, h = cfg.x_size * CELL, cfg.y_size * CELL
+        parts = [
+            f'<svg class="board" viewBox="0 0 {w} {h}" width="{w}" height="{h}">',
+            f'<rect width="{w}" height="{h}" fill="#e8c98a"/>',
+        ]
+        for x in range(cfg.x_size):
+            parts.append(
+                f'<line x1="{x*CELL+CELL//2}" y1="{CELL//2}" x2="{x*CELL+CELL//2}" '
+                f'y2="{h-CELL//2}" stroke="#7a5c2e"/>'
+            )
+        for y in range(cfg.y_size):
+            parts.append(
+                f'<line x1="{CELL//2}" y1="{y*CELL+CELL//2}" x2="{w-CELL//2}" '
+                f'y2="{y*CELL+CELL//2}" stroke="#7a5c2e"/>'
+            )
+        for y in range(cfg.y_size):
+            for x in range(cfg.x_size):
+                c = n.board[y][x]
+                if c == 0:
+                    continue
+                fill = "#111" if c == 1 else "#fafafa"
+                parts.append(
+                    f'<circle cx="{x*CELL+CELL//2}" cy="{y*CELL+CELL//2}" '
+                    f'r="{CELL//2-3}" fill="{fill}" stroke="#444"/>'
+                )
+        if last is not None:
+            lx, ly, ld = last
+            cx, cy = lx * CELL + CELL // 2, ly * CELL + CELL // 2
+            parts.append(
+                f'<circle cx="{cx}" cy="{cy}" r="{CELL//5}" fill="none" '
+                'stroke="#d03020" stroke-width="2"/>'
+            )
+            # direction ray: N (col), W (row), NW, NE — the move's line claim
+            dx, dy = {0: (0, -1), 1: (-1, 0), 2: (-1, -1), 3: (1, -1)}[ld]
+            parts.append(
+                f'<line x1="{cx}" y1="{cy}" x2="{cx+dx*CELL//2}" '
+                f'y2="{cy+dy*CELL//2}" stroke="#d03020" stroke-width="2"/>'
+            )
+        parts.append("</svg>")
+        return "".join(parts)
+
+    def _pv(self, n, keys: set, max_len: int = 8) -> list:
+        """Best-line walk through book edges by visits (bookcssjs's PV
+        display role). Returns [(move string, node key or None), ...]."""
+        out = []
+        cur = n
+        seen = {n.key}
+        for _ in range(max_len):
+            if not cur.edges:
+                break
+            a, (ckey, _, _) = max(cur.edges.items(), key=lambda kv: kv[1][2])
+            out.append((gio.action_to_string(a, self.cfg), ckey if ckey in keys else None))
+            if ckey not in keys or ckey in seen:
+                break
+            seen.add(ckey)
+            cur = self.nodes[ckey]
+        return out
+
     def export_html(self, out_dir: str, max_nodes: int = 2000):
-        """Static HTML browser (writebook / bookcssjs.cpp equivalent):
-        one page per node with the board, values, and move links."""
+        """Static HTML browser — the writebook / bookcssjs.cpp role
+        (`/root/reference/cpp/book/bookcssjs.cpp` renders navigable board
+        pages with per-move values): one page per node with an SVG board
+        (last-move marker + direction ray), per-move child BOOK values /
+        priors / visits with links, the principal variation, parent-position
+        links, and a depth-sorted index. Pure static output (no server);
+        a small inline script gives table sorting like the reference's JS."""
         os.makedirs(out_dir, exist_ok=True)
         cfg = self.cfg
         nodes = sorted(self.nodes.values(), key=lambda n: -n.path_prob)[:max_nodes]
         keys = {n.key for n in nodes}
+        parents: dict = {}
+        for n in nodes:
+            for a, (ckey, _, _) in n.edges.items():
+                if ckey in keys:
+                    parents.setdefault(ckey, []).append((n.key, a))
         css = (
-            "body{font-family:sans-serif;margin:2em}"
-            "table.b{border-collapse:collapse}"
-            "table.b td{width:28px;height:28px;border:1px solid #999;"
-            "text-align:center;font-size:18px}"
-            "td.black{background:#333;color:#fff}td.white{background:#eee}"
+            "body{font-family:sans-serif;margin:2em;max-width:60em}"
+            "svg.board{margin:0.5em 0}"
             "table.m{border-collapse:collapse;margin-top:1em}"
-            "table.m td,table.m th{border:1px solid #ccc;padding:4px 10px}"
+            "table.m td,table.m th{border:1px solid #ccc;padding:4px 10px;"
+            "text-align:right}"
+            "table.m td:first-child{text-align:left}"
+            "th{cursor:pointer;background:#f4f4f4}"
+            ".pv{color:#555}.nav{margin-top:1em}"
+            ".good{color:#0a7a0a}.bad{color:#c02020}"
+        )
+        sort_js = (
+            "function srt(t,c){const b=t.tBodies[0];const r=[...b.rows];"
+            "const d=t.dataset['s'+c]!=='1';t.dataset['s'+c]=d?'1':'0';"
+            "r.sort((x,y)=>{const a=parseFloat(x.cells[c].dataset.v||x.cells[c].textContent)||0,"
+            "e=parseFloat(y.cells[c].dataset.v||y.cells[c].textContent)||0;"
+            "return d?e-a:a-e});r.forEach(w=>b.appendChild(w));}"
         )
         with open(os.path.join(out_dir, "style.css"), "w") as f:
             f.write(css)
         for n in nodes:
-            rows = []
-            for y in range(cfg.y_size):
-                cells = []
-                for x in range(cfg.x_size):
-                    c = n.board[y][x]
-                    cls = {0: "", 1: "black", 2: "white"}[c]
-                    glyph = {0: "", 1: "X", 2: "O"}[c]
-                    cells.append(f'<td class="{cls}">{glyph}</td>')
-                rows.append("<tr>" + "".join(cells) + "</tr>")
             moves = []
             for a, (ckey, prior, visits) in sorted(
                 n.edges.items(), key=lambda kv: -kv[1][2]
             ):
                 mv = gio.action_to_string(a, cfg)
                 link = f'<a href="{ckey}.html">{mv}</a>' if ckey in keys else mv
+                child = self.nodes.get(ckey)
+                if child is not None:
+                    cwl = child.book_wl if child.book_wl is not None else child.winloss
+                    # negate: child values are child-mover perspective
+                    wl_here = -cwl
+                    cls = "good" if wl_here > 0.05 else ("bad" if wl_here < -0.05 else "")
+                    wl_cell = f'<td class="{cls}" data-v="{wl_here:.4f}">{wl_here:+.3f}</td>'
+                    draw_cell = f"<td>{child.draw:.3f}</td>"
+                else:
+                    wl_cell = '<td data-v="0">—</td>'
+                    draw_cell = "<td>—</td>"
                 moves.append(
-                    f"<tr><td>{link}</td><td>{prior:.3f}</td><td>{visits}</td></tr>"
+                    f"<tr><td>{link}</td>{wl_cell}{draw_cell}"
+                    f"<td>{prior:.3f}</td><td>{visits}</td></tr>"
                 )
-            mover = "black (X)" if n.to_move == 1 else "white (O)"
+            mover = "black (●)" if n.to_move == 1 else "white (○)"
+            pv = self._pv(n, keys)
+            pv_html = " ".join(
+                f'<a href="{k}.html">{mv}</a>' if k else mv for mv, k in pv
+            )
+            up = parents.get(n.key, [])
+            up_html = " · ".join(
+                f'<a href="{pk}.html">&larr; {gio.action_to_string(a, cfg)}</a>'
+                for pk, a in up[:6]
+            )
             html = (
                 "<!DOCTYPE html><html><head>"
-                '<link rel="stylesheet" href="style.css"><title>KataCoffee book</title></head><body>'
+                '<link rel="stylesheet" href="style.css">'
+                f"<script>{sort_js}</script>"
+                "<title>KataCoffee book</title></head><body>"
                 f"<h2>Position {n.key[:12]}</h2>"
-                f'<table class="b">{"".join(rows)}</table>'
-                f"<p>to move: {mover} · winloss {n.winloss:+.3f}"
+                + self._board_svg(n)
+                + f"<p>to move: {mover} · winloss {n.winloss:+.3f}"
                 + (f" · book {n.book_wl:+.3f}" if n.book_wl is not None else "")
                 + f" · draw {n.draw:.3f} "
                 f"· visits {n.visits} · reach-prob {n.path_prob:.4f}</p>"
-                '<table class="m"><tr><th>move</th><th>prior</th><th>visits</th></tr>'
+                + (f'<p class="pv">PV: {pv_html}</p>' if pv else "")
+                + '<table class="m" id="mt"><thead><tr>'
+                + "".join(
+                    f'<th onclick="srt(document.getElementById(\'mt\'),{i})">{h}</th>'
+                    for i, h in enumerate(
+                        ("move", "winloss", "draw", "prior", "visits")
+                    )
+                )
+                + "</tr></thead><tbody>"
                 + "".join(moves)
-                + "</table>"
-                + f'<p><a href="{self.root_key}.html">root</a></p>'
+                + "</tbody></table>"
+                + '<p class="nav">'
+                + (up_html + " · " if up_html else "")
+                + f'<a href="{self.root_key}.html">root</a> · '
+                + '<a href="list.html">all positions</a></p>'
                 + "</body></html>"
             )
             with open(os.path.join(out_dir, f"{n.key}.html"), "w") as f:
                 f.write(html)
+        # depth/probability-sorted index of every exported position
+        rows = "".join(
+            f'<tr><td><a href="{n.key}.html">{n.key[:12]}</a></td>'
+            f"<td>{int(np.sum(np.asarray(n.board) != 0))}</td>"
+            f"<td>{'●' if n.to_move == 1 else '○'}</td>"
+            f"<td>{(n.book_wl if n.book_wl is not None else n.winloss):+.3f}</td>"
+            f"<td>{n.path_prob:.4f}</td><td>{n.visits}</td></tr>"
+            for n in nodes
+        )
+        with open(os.path.join(out_dir, "list.html"), "w") as f:
+            f.write(
+                "<!DOCTYPE html><html><head>"
+                '<link rel="stylesheet" href="style.css"></head><body>'
+                "<h2>Book positions</h2>"
+                '<table class="m"><thead><tr><th>key</th><th>stones</th>'
+                "<th>to move</th><th>winloss(mover)</th><th>reach-prob</th>"
+                "<th>visits</th>"
+                "</tr></thead><tbody>" + rows + "</tbody></table></body></html>"
+            )
         with open(os.path.join(out_dir, "index.html"), "w") as f:
             f.write(
                 f'<!DOCTYPE html><html><head><meta http-equiv="refresh" '

@@ -91,6 +91,15 @@ class TestBook:
         assert os.path.exists(root_page)
         text = open(root_page).read()
         assert "winloss" in text and "<table" in text
+        # bookcssjs.cpp-role rendering: SVG board, PV, navigation, index
+        assert '<svg class="board"' in text
+        assert "list.html" in text
+        assert os.path.exists(os.path.join(out, "list.html"))
+        # child rows link to child pages and carry negated child book values
+        import re
+
+        links = re.findall(r'href="([0-9a-f]+)\.html"', text)
+        assert any(k != book.root_key and k in book.nodes for k in links)
 
 
 class TestWideningAndRecompute:
