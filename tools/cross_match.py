@@ -59,6 +59,7 @@ cpuctExplorationLog = 0.0
 fpuReductionMax = 0.2
 rootFpuReductionMax = 0.1
 fpuParentWeightByVisitedPolicy = true
+fpuParentWeightByVisitedPolicyPow = 2.0
 valueWeightExponent = 0.5
 useGraphSearch = true
 subtreeValueBiasFactor = 0.35
