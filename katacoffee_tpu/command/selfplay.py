@@ -115,6 +115,9 @@ class SelfplayConfig:
     record_tree_positions: bool = False
     record_tree_threshold: int = 0
     record_tree_target_weight: float = 0.0
+    # mixed-board-size runs tag per-size data dirs (tdata_<tag>, sgfs_<tag>)
+    # so the shuffler/trainer can bucket by shape (run_mixed_selfplay)
+    data_tag: str = ""
 
 
 def run_selfplay_daemon(
@@ -257,8 +260,9 @@ def run_selfplay_daemon(
     def build_for_model():
         nonlocal segment_fn, writer, sgf_dir, side_fn, side_state, fork_fn
         out_base = os.path.join(base_dir, "selfplay", model_name)
-        tdata = os.path.join(out_base, "tdata")
-        sgf_dir = os.path.join(out_base, "sgfs")
+        tag = f"_{spc.data_tag}" if spc.data_tag else ""
+        tdata = os.path.join(out_base, "tdata" + tag)
+        sgf_dir = os.path.join(out_base, "sgfs" + tag)
         os.makedirs(sgf_dir, exist_ok=True)
         writer = TrainingDataWriter(tdata, cfg, spc.max_rows_per_file)
         ev = eval_fn
@@ -446,6 +450,55 @@ def run_selfplay_daemon(
     return total_rows
 
 
+def run_mixed_selfplay(
+    base_dir: str,
+    size_configs: list,  # [(GameConfig, rel_prob)]
+    sp: SearchParams,
+    spc: SelfplayConfig,
+    logger: Logger | None = None,
+    rows_per_pass: int = 20000,
+    max_passes: int | None = 1,
+) -> int:
+    """Mixed-board-size selfplay — the GameInitializer bSizes role
+    (`/root/reference/cpp/program/play.cpp:93-142`; selfplay1.cfg:89
+    bSizes/bSizeRelProbs). The reference samples a size per game inside one
+    thread pool; lockstep batches need uniform shapes, so sizes run as
+    LONG per-size stints (one daemon call per size per pass, row quota
+    proportional to its rel prob) into per-size data dirs
+    (tdata_<XxYwW>) — one compiled executable per shape, reused across
+    passes via the jit cache. Rows carry board_shape, and the shuffler /
+    trainer bucket by it (shuffle + run_training_mixed in train.py).
+
+    Note the fork's own mixed-size path is broken: GameInitializer builds
+    `Board(xSize, ySize)` (play.cpp:452) which resolves to the
+    (size, winLen) ctor, silently making winLen = ySize; our per-size
+    GameConfig carries an explicit win_len instead (bWinLens key).
+    Returns total rows written across sizes."""
+    import dataclasses
+
+    logger = logger or Logger(log_to_stdout=True)
+    total_prob = sum(p for _, p in size_configs)
+    total_rows = 0
+    passes = 0
+    while max_passes is None or passes < max_passes:
+        for i, (cfg, prob) in enumerate(size_configs):
+            quota = max(int(rows_per_pass * prob / total_prob), 1)
+            tag = f"{cfg.x_size}x{cfg.y_size}w{cfg.win_len}"
+            spc_i = dataclasses.replace(
+                spc,
+                data_tag=tag,
+                max_rows=quota,
+                max_segments=None,
+                seed=spc.seed + 1009 * passes + 101 * i,
+            )
+            logger.write(
+                f"selfplay-mixed: pass {passes} size {tag} quota {quota} rows"
+            )
+            total_rows += run_selfplay_daemon(base_dir, cfg, sp, spc_i, logger)
+        passes += 1
+    return total_rows
+
+
 def main(argv, **kw):
     """Entry for `katacoffee selfplay` (cli.py plumbs the config)."""
     from katacoffee_tpu.parallel import init_distributed
@@ -496,6 +549,35 @@ def main(argv, **kw):
     logger = Logger(log_to_stdout=True)
     os.makedirs(args.output_dir, exist_ok=True)
     logger.add_file(os.path.join(args.output_dir, "selfplay.log"))
+    # bSizes / bSizeRelProbs (play.cpp:93-142) + our explicit bWinLens
+    # (the fork's winLen-from-ySize accident documented at
+    # run_mixed_selfplay); presence of bSizes switches to the mixed daemon
+    if c.contains("bSizes"):
+        sizes = [int(s) for s in c.get_string("bSizes").split(",")]
+        rel = (
+            [float(s) for s in c.get_string("bSizeRelProbs").split(",")]
+            if c.contains("bSizeRelProbs")
+            else [1.0] * len(sizes)
+        )
+        winlens = (
+            [int(s) for s in c.get_string("bWinLens").split(",")]
+            if c.contains("bWinLens")
+            else [min(s, 5) for s in sizes]
+        )
+        if not (len(sizes) == len(rel) == len(winlens)):
+            raise ValueError("bSizes, bSizeRelProbs, bWinLens must align")
+        size_configs = [
+            (GameConfig(s, s, w), p) for s, w, p in zip(sizes, winlens, rel)
+        ]
+        rows_per_pass = c.get_int("rowsPerPass", 20000)
+        max_passes = c.get_int("maxPasses", 0) or None
+        c.warn_unused(logger)
+        run_mixed_selfplay(
+            args.output_dir, size_configs, sp, spc, logger,
+            rows_per_pass=rows_per_pass,
+            max_passes=max_passes,
+        )
+        return
     c.warn_unused(logger)
     run_selfplay_daemon(
         args.output_dir, cfg, sp, spc, logger, install_signal_handlers=True

@@ -84,6 +84,112 @@ def _batch_iterator(shuffled_dir: str, batch_size: int, rng: np.random.Generator
         epoch += 1
 
 
+def run_training_mixed(
+    base_dir: str,
+    cfgs: list,
+    tc: TrainConfig,
+    trc: TrainerConfig,
+    logger: Logger | None = None,
+    export_to: str = "modelstobetested",
+    run_name: str = "run",
+) -> int:
+    """Mixed-board-size training: ONE net (the CoffeeNet trunk/heads are
+    shape-polymorphic — conv kernels and gpool'd heads carry no H/W — and
+    the bscale gpool channel encodes size) trained on several sizes at once.
+    The reference trains mixed sizes by padding rows to nnXLen×nnYLen inside
+    one batch (python/data_processing_pytorch.py); padding every row to the
+    max size would make XLA process 2x dead cells at the small size, so we
+    instead compile ONE train step per shape and alternate steps over the
+    per-size shuffle dirs `shuffleddata/<XxYwW>/`, sampling each size
+    proportionally to its available rows. Shared params + optimizer state;
+    rotating checkpoint compatible with run_training's.
+
+    Returns steps done. Expects data from run_mixed_selfplay shuffled per
+    size (tools/mixed_size_demo.py shows the full loop)."""
+    logger = logger or Logger(log_to_stdout=True)
+    shuffled_base = os.path.join(base_dir, "shuffleddata")
+    train_dir = os.path.join(base_dir, "train", run_name)
+    os.makedirs(train_dir, exist_ok=True)
+    metrics_path = os.path.join(train_dir, "metrics_train.json")
+    ckpt_path = os.path.join(train_dir, "checkpoint.ckpt")
+
+    tags = [f"{c.x_size}x{c.y_size}w{c.win_len}" for c in cfgs]
+    dirs = [os.path.join(shuffled_base, t) for t in tags]
+    rows = []
+    for d in dirs:
+        n = 0
+        if os.path.isdir(d):
+            for s in iter_shards(d):
+                with np.load(s) as z:
+                    n += int(z["weight"].shape[0])
+        rows.append(n)
+    if not any(rows):
+        raise FileNotFoundError(f"no shuffled data under {shuffled_base}/{tags}")
+
+    # the line-aux head is sized for the LARGEST win_len; every other param
+    # is shape-independent (losses.py one-hots to the head's class count)
+    max_wl = max(c.win_len for c in cfgs)
+    # exported meta must carry the head-sizing win_len so reloads rebuild
+    # the identical param tree
+    export_cfg = GameConfig(cfgs[0].x_size, cfgs[0].y_size, max_wl)
+    model = CoffeeNet(get_model_spec(trc.model), win_len=max_wl)
+    state = init_train_state(
+        model, cfgs[0], tc, batch_size=trc.batch_size,
+        rng=jax.random.PRNGKey(trc.seed),
+    )
+    start_step = 0
+    if os.path.exists(ckpt_path):
+        state, meta = load_checkpoint(ckpt_path, state)
+        start_step = int(meta.get("train_step", int(state.step)))
+        logger.write(f"train-mixed: resumed from step {start_step}")
+
+    step_fns = [
+        make_train_step(model, c, tc, batch_size=trc.batch_size) for c in cfgs
+    ]
+    rng = np.random.default_rng(trc.seed + start_step)
+    iters = [
+        _batch_iterator(d, trc.batch_size, np.random.default_rng(trc.seed + 7 * i))
+        for i, d in enumerate(dirs)
+    ]
+    probs = np.asarray(rows, np.float64)
+    probs = probs / probs.sum()
+    key = jax.random.PRNGKey(trc.seed + 1)
+
+    steps = 0
+    mfile = open(metrics_path, "a")
+    logger.write(
+        "train-mixed: sizes " + ", ".join(f"{t}:{r} rows" for t, r in zip(tags, rows))
+    )
+    while trc.max_steps is None or steps < trc.max_steps:
+        i = int(rng.choice(len(cfgs), p=probs))
+        epoch, batch = next(iters[i])
+        if batch is None:
+            continue
+        if epoch >= trc.max_epochs_per_data:
+            break
+        key, k = jax.random.split(key)
+        state, metrics = step_fns[i](state, batch, k)
+        steps += 1
+        gstep = start_step + steps
+        if steps % 50 == 0 or steps == 1:
+            m = {k2: float(v) for k2, v in metrics.items()}
+            m.update(step=gstep, size=tags[i], time=time.time())
+            mfile.write(json.dumps(m) + "\n")
+            mfile.flush()
+            logger.write(
+                f"train-mixed: step {gstep} [{tags[i]}] loss {m['loss']:.4f}"
+            )
+        if steps % trc.checkpoint_every == 0:
+            save_checkpoint(ckpt_path, state, extra={"train_step": gstep})
+        if steps % trc.steps_per_export == 0:
+            _export(base_dir, export_to, run_name, gstep, state, trc, export_cfg, logger)
+
+    save_checkpoint(ckpt_path, state, extra={"train_step": start_step + steps})
+    _export(base_dir, export_to, run_name, start_step + steps, state, trc, export_cfg, logger)
+    mfile.close()
+    return steps
+
+
 def run_training(
     base_dir: str,
     cfg: GameConfig,

@@ -169,9 +169,14 @@ def compute_losses(
     fut_ce = fut_ce[:, 0].mean(axis=(-1, -2)) + 0.6 * fut_ce[:, 1].mean(axis=(-1, -2))
     loss_fut = 0.25 * wmean(fut_ce, weights=wa)
 
-    # longest-line aux: per-cell classification over 0..win_len
-    line_t = jnp.clip(lines, 0, cfg.win_len).astype(jnp.int32)
-    line_onehot = jax.nn.one_hot(line_t, cfg.win_len + 1)
+    # longest-line aux: per-cell classification over 0..win_len. One-hot to
+    # the HEAD's class count (model.win_len + 1): under mixed-size training
+    # (run_training_mixed) one net serves several win_lens, with the head
+    # sized for the largest; smaller sizes' targets clip at their own
+    # win_len and the surplus classes just receive zero target mass.
+    n_classes = out["line_logits"].shape[1]
+    line_t = jnp.clip(lines, 0, min(cfg.win_len, n_classes - 1)).astype(jnp.int32)
+    line_onehot = jax.nn.one_hot(line_t, n_classes)
     line_ce = _ce(
         jnp.transpose(out["line_logits"], (0, 2, 3, 1)), line_onehot
     ).mean(axis=(-1, -2))

@@ -50,12 +50,20 @@ def seed_from_artifacts(base_dir: str, logger) -> None:
             continue
         shutil.copytree(src, os.path.join(base_dir, "models", m))
         logger.write(f"flagship: seeded promoted model {m} from artifacts")
-    ck = os.path.join(art, "train", "checkpoint.ckpt")
-    dst = os.path.join(base_dir, "train", "checkpoint.ckpt")
-    if os.path.isfile(ck) and not os.path.exists(dst):
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copy2(ck, dst)
-        logger.write("flagship: seeded trainer checkpoint from artifacts")
+    # run_training keeps its checkpoint under train/<run_name>/ (run_name
+    # "run"); earlier revisions synced the wrong path (train/checkpoint.ckpt),
+    # which silently reset the trainer to step 0 in fresh sandboxes — accept
+    # either location when seeding.
+    dst = os.path.join(base_dir, "train", "run", "checkpoint.ckpt")
+    for ck in (
+        os.path.join(art, "train", "run", "checkpoint.ckpt"),
+        os.path.join(art, "train", "checkpoint.ckpt"),
+    ):
+        if os.path.isfile(ck) and not os.path.exists(dst):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(ck, dst)
+            logger.write("flagship: seeded trainer checkpoint from artifacts")
+            break
 
 
 def sync_to_artifacts(base_dir: str, logger) -> None:
@@ -66,15 +74,58 @@ def sync_to_artifacts(base_dir: str, logger) -> None:
         dst = os.path.join(art, "models", m)
         if not os.path.isdir(dst):
             shutil.copytree(os.path.join(base_dir, "models", m), dst)
-    ck = os.path.join(base_dir, "train", "checkpoint.ckpt")
+    ck = os.path.join(base_dir, "train", "run", "checkpoint.ckpt")
     if os.path.isfile(ck):
-        os.makedirs(os.path.join(art, "train"), exist_ok=True)
-        shutil.copy2(ck, os.path.join(art, "train", "checkpoint.ckpt"))
+        os.makedirs(os.path.join(art, "train", "run"), exist_ok=True)
+        shutil.copy2(ck, os.path.join(art, "train", "run", "checkpoint.ckpt"))
     for f in ("flagship_log.txt", "flagship_elos.json"):
         src = os.path.join(base_dir, f)
         if os.path.isfile(src):
             shutil.copy2(src, os.path.join(art, f))
     logger.write(f"flagship: synced {len(_promoted_models(base_dir))} models to artifacts")
+
+
+def warmstart_trainer_from_champion(base_dir: str, lc, cfg, logger) -> None:
+    """If the trainer checkpoint is gone (lost sandbox / the old wrong-path
+    sync) but promoted models exist, synthesize a checkpoint whose params AND
+    EMA are the latest champion's exported weights, with the step counter set
+    to the champion's train_step. Without this, a resumed run restarts the
+    trainer from random init and every candidate loses the gate until it
+    re-earns ~champion strength (observed: s400..s1200 all rejected vs
+    run-s2800). Mirrors the reference loop's property that the trainer state
+    always continues from the strongest lineage (train.py:253-289 resume)."""
+    ckpt = os.path.join(base_dir, "train", "run", "checkpoint.ckpt")
+    if os.path.exists(ckpt):
+        return
+    models = _promoted_models(base_dir)
+    if not models:
+        return
+    import jax
+    import jax.numpy as jnp
+
+    from katacoffee_tpu.dataio.checkpoints import load_exported_model, save_checkpoint
+    from katacoffee_tpu.nn.configs import get_model_spec
+    from katacoffee_tpu.nn.model import CoffeeNet
+    from katacoffee_tpu.train import TrainConfig, init_train_state
+
+    latest = max(models, key=lambda m: int(m.rsplit("-s", 1)[1]))
+    step = int(latest.rsplit("-s", 1)[1])
+    model, params, mcfg, meta = load_exported_model(os.path.join(base_dir, "models", latest))
+    tc = TrainConfig(
+        learning_rate=lc.learning_rate, warmup_samples_scale=lc.warmup_samples_scale
+    )
+    state = init_train_state(
+        CoffeeNet(get_model_spec(lc.model), win_len=cfg.win_len),
+        cfg, tc, batch_size=lc.train_batch, rng=jax.random.PRNGKey(lc.seed),
+    )
+    state = state._replace(
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        step=jnp.asarray(step, jnp.int32),
+    )
+    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+    save_checkpoint(ckpt, state, extra={"train_step": step, "warmstart_from": latest})
+    logger.write(f"flagship: warm-started trainer from champion {latest} (step {step})")
 
 
 def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5):
@@ -104,6 +155,7 @@ def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5):
         use_gatekeeper=True,
         seed=7,
     )
+    warmstart_trainer_from_champion(base_dir, lc, cfg, logger)
 
     t0 = time.time()
     for cycle in range(max_cycles):

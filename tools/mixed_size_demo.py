@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Mixed board-size training demo (VERDICT r3 item 4 'done' criterion):
+ONE net trains on 5x5w4 + 7x7w5 selfplay data and beats its 5x5-only twin
+on 7x7 while holding 5x5.
+
+Pipeline (run on the real TPU; ~30-45 min):
+  1. uniform-prior selfplay at both sizes (run_mixed_selfplay) and at 5x5
+     only, equal total rows;
+  2. shuffle per size; train two b2c32 nets with IDENTICAL step counts —
+     'mixed' via run_training_mixed over both sizes, 'solo' via
+     run_training on 5x5 only;
+  3. head-to-head matches (batched match runner) mixed-vs-solo at 7x7w5
+     and at 5x5w4, report win rates + Elo.
+
+Writes artifacts/mixed_size_demo.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(base=None, games=120, rows=24000, steps=600, visits=100):
+    import jax
+
+    from katacoffee_tpu.command.match import run_round_robin
+    from katacoffee_tpu.command.selfplay import (
+        SelfplayConfig,
+        run_mixed_selfplay,
+        run_selfplay_daemon,
+    )
+    from katacoffee_tpu.command.train import (
+        TrainerConfig,
+        run_training,
+        run_training_mixed,
+    )
+    from katacoffee_tpu.dataio.checkpoints import load_exported_model
+    from katacoffee_tpu.dataio.shuffle import shuffle_data
+    from katacoffee_tpu.game.board import GameConfig
+    from katacoffee_tpu.search import SearchParams, make_nn_eval_fn
+    from katacoffee_tpu.train import TrainConfig
+    from katacoffee_tpu.utils import Logger
+    from katacoffee_tpu.utils.elo import compute_elos
+
+    t0 = time.time()
+    base = base or "/root/repo/.runs/mixed_size_demo"
+    logger = Logger(log_to_stdout=True)
+    cfg5 = GameConfig(5, 5, 4)
+    cfg7 = GameConfig(7, 7, 5)
+    sp = SearchParams.for_selfplay()
+
+    # --- 1. data ---
+    spc = SelfplayConfig(batch_size=128, num_sims=100, moves_per_segment=16,
+                         segments_per_flush=4, seed=3)
+    mixed_base = os.path.join(base, "mixed")
+    solo_base = os.path.join(base, "solo")
+    run_mixed_selfplay(
+        mixed_base, [(cfg5, 1.0), (cfg7, 1.0)], sp, spc, logger,
+        rows_per_pass=rows, max_passes=1,
+    )
+    import dataclasses
+
+    run_selfplay_daemon(
+        solo_base, cfg5, sp,
+        dataclasses.replace(spc, max_rows=rows, data_tag="5x5w4"), logger,
+    )
+
+    # --- 2. shuffle per size + train twins ---
+    for b, tags in ((mixed_base, ["5x5w4", "7x7w5"]), (solo_base, ["5x5w4"])):
+        for tag in tags:
+            shuffle_data(
+                [os.path.join(b, "selfplay", "random", "tdata_" + tag)],
+                os.path.join(b, "shuffleddata", tag),
+                min_rows=10**9,
+                seed=5,
+            )
+    tc = TrainConfig(warmup_steps=20, symmetry_augment=True)
+    trc = TrainerConfig(model="b2c32", batch_size=128, max_steps=steps,
+                        steps_per_export=10**9, checkpoint_every=10**9,
+                        max_epochs_per_data=10**9, seed=11)
+    run_training_mixed(mixed_base, [cfg5, cfg7], tc, trc, logger)
+    # the solo twin uses the same per-size shuffle layout with one size
+    run_training_mixed(solo_base, [cfg5], tc, trc, logger)
+
+    def latest_eval_fn(b, cfg):
+        d = os.path.join(b, "modelstobetested")
+        name = sorted(os.listdir(d))[-1]
+        # rebuild at the TARGET size's win_len: conv/head params carry no
+        # H/W or win_len, so the exported leaves map 1:1
+        _, params, _, meta = load_exported_model(os.path.join(d, name))
+        from katacoffee_tpu.nn.configs import get_model_spec
+        from katacoffee_tpu.nn.model import CoffeeNet
+
+        model = CoffeeNet(get_model_spec(meta["model"]), win_len=cfg.win_len)
+        return make_nn_eval_fn(cfg, model, params)
+
+    # --- 3. matches ---
+    out = {"games": games, "rows": rows, "steps": steps, "visits": visits}
+    gate_sp = SearchParams.for_gatekeeper()
+    for label, cfg in (("7x7w5", cfg7), ("5x5w4", cfg5)):
+        mixed_fn = latest_eval_fn(mixed_base, cfg)
+        solo_fn = latest_eval_fn(solo_base, cfg)
+        records, elo = run_round_robin(
+            cfg, {"mixed": mixed_fn, "solo": solo_fn}, games,
+            visits, sp=gate_sp, seed=17, logger=logger,
+        )
+        (na, nb, wa, wb, draws) = records[0]
+        wins, losses = (wa, wb) if na == "mixed" else (wb, wa)
+        diff = elo.elos[elo.players.index("mixed")] - elo.elos[elo.players.index("solo")]
+        sd = float(sum(x * x for x in elo.stdevs) ** 0.5)
+        out[label] = {
+            "mixed_wins": wins, "solo_wins": losses, "draws": draws,
+            "elo_mixed_minus_solo": float(diff), "elo_stdev": sd,
+        }
+        print(label, out[label], flush=True)
+
+    out["wall_s"] = time.time() - t0
+    os.makedirs("/root/repo/artifacts", exist_ok=True)
+    with open("/root/repo/artifacts/mixed_size_demo.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
