@@ -78,6 +78,7 @@ def sample_history_levels(rng: jax.Array, n: int, keep_prob: float = 0.98):
     return jnp.cumprod((u < keep_prob).astype(jnp.int32), axis=1).sum(axis=1)
 
 
+@jax.named_scope("ph_features")
 def extract_features(cfg: GameConfig, state: GameState):
     """Returns (spatial [18, Y, X] float32, global [1] float32) for the player
     to move. vmap over a batch of states for [B, 18, Y, X]."""

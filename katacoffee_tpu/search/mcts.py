@@ -434,6 +434,7 @@ def make_nn_eval_fn(
     return fn
 
 
+@jax.named_scope("ph_rooteval")
 def _root_eval(
     cfg: GameConfig, sp: SearchParams, eval_fn: EvalFn, states: GameState, rng: jax.Array
 ) -> EvalResult:
@@ -581,6 +582,7 @@ def _bias_avg(sp: SearchParams, tree: Tree, bidx, key: jax.Array) -> jax.Array:
 _PALLAS_GATHER_MIN_ELEMS = 1 << 62
 
 
+@jax.named_scope("ph_gather")
 def _gather_child_stats(tree: Tree, bidx, node):
     """Raw stat rows of every child of `node`: [B, A, 8]. One one-hot einsum
     fetches all channels of all children at once (the profiled fast path —
@@ -640,6 +642,7 @@ def _child_edge_stats(tree: Tree, bidx, node):
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("ph_rootinit")
 def init_tree(
     cfg: GameConfig,
     sp: SearchParams,
@@ -795,6 +798,7 @@ def _root_symmetry_prune(cfg: GameConfig, states: GameState, prior: jax.Array) -
     return jnp.where(canonical, prior, -1.0)
 
 
+@jax.named_scope("ph_rootprior")
 def _make_root_prior(
     cfg, sp: SearchParams, policy, legal, root_states, k_noise, turn_number,
     root_hint: jax.Array | None = None,
@@ -886,6 +890,7 @@ def _add_dirichlet_noise(sp, rng, policy, legal):
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("ph_select")
 def _select_action(
     cfg, sp: SearchParams, tree: Tree, node: jax.Array, is_root: jax.Array, cs=None,
     forbid: jax.Array | None = None,
@@ -1115,16 +1120,17 @@ def _simulate_once(
     active0 = jnp.ones((B,), bool)
     catch0 = jnp.zeros((B,), bool)
     save0 = scratch if scratch is not None else make_sim_scratch(cfg, tree, max_depth)
-    leaf, leaf_depth, _, path, act_path, caught, ev_out, _, level_stats = (
-        jax.lax.while_loop(
-            cond,
-            body,
-            (
-                node0, depth0, active0, path0, acts0, catch0,
-                tree.edge_visits, jnp.asarray(0, jnp.int32), save0,
-            ),
+    with jax.named_scope("ph_descent"):
+        leaf, leaf_depth, _, path, act_path, caught, ev_out, _, level_stats = (
+            jax.lax.while_loop(
+                cond,
+                body,
+                (
+                    node0, depth0, active0, path0, acts0, catch0,
+                    tree.edge_visits, jnp.asarray(0, jnp.int32), save0,
+                ),
+            )
         )
-    )
     tree = tree._replace(edge_visits=ev_out)
     action = act_path[bidx, leaf_depth]  # the stopping edge's action
 
@@ -1144,138 +1150,140 @@ def _simulate_once(
     # ---------------- Expansion ----------------
     # For expanding games: step the env, evaluate, then either link to a
     # transposed existing node (graph search) or allocate a new slot.
-    leaf_states = jax.tree_util.tree_map(lambda x: x[bidx, leaf], tree.states)
-    new_states = jax.vmap(functools.partial(step, cfg))(leaf_states, action)
-    res = eval_fn(new_states, k_eval)
+    with jax.named_scope("ph_expand"):
+        leaf_states = jax.tree_util.tree_map(lambda x: x[bidx, leaf], tree.states)
+        new_states = jax.vmap(functools.partial(step, cfg))(leaf_states, action)
+        with jax.named_scope("ph_nneval"):
+            res = eval_fn(new_states, k_eval)
 
-    if sp.useGraphSearch:
-        new_hash = jax.vmap(functools.partial(situation_hash, cfg))(new_states)  # [B,2]
-        slot_valid = jnp.arange(tree.stats.shape[1])[None, :] < tree.node_count[:, None]
-        # compare both hash words with a minor-dim reduce; slicing the words
-        # out separately made XLA pick a channel-major layout for sit_hash
-        # and insert a transpose copy every sim (profiled)
-        hmatch = slot_valid & (tree.sit_hash == new_hash[:, None, :]).all(-1)
-        found = hmatch.any(axis=1) & expanding
-        found_idx = jnp.argmax(hmatch, axis=1)
-    else:
-        found = jnp.zeros((B,), bool)
-        found_idx = jnp.zeros((B,), jnp.int32)
+        if sp.useGraphSearch:
+            new_hash = jax.vmap(functools.partial(situation_hash, cfg))(new_states)  # [B,2]
+            slot_valid = jnp.arange(tree.stats.shape[1])[None, :] < tree.node_count[:, None]
+            # compare both hash words with a minor-dim reduce; slicing the words
+            # out separately made XLA pick a channel-major layout for sit_hash
+            # and insert a transpose copy every sim (profiled)
+            hmatch = slot_valid & (tree.sit_hash == new_hash[:, None, :]).all(-1)
+            found = hmatch.any(axis=1) & expanding
+            found_idx = jnp.argmax(hmatch, axis=1)
+        else:
+            found = jnp.zeros((B,), bool)
+            found_idx = jnp.zeros((B,), jnp.int32)
 
-    new_idx = tree.node_count  # [B] next free slot
-    capacity_ok = new_idx < tree.stats.shape[1]
-    do_alloc = expanding & ~found & capacity_ok
-    do_link = expanding & found
-    overflow = expanding & ~found & ~capacity_ok
+        new_idx = tree.node_count  # [B] next free slot
+        capacity_ok = new_idx < tree.stats.shape[1]
+        do_alloc = expanding & ~found & capacity_ok
+        do_link = expanding & found
+        overflow = expanding & ~found & ~capacity_ok
 
-    new_terminal = new_states.done
-    term_util = _terminal_utility(new_states)
-    legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(new_states)
-    new_prior = jnp.where(legal, _blend_policy(res, sp.policyOptimism), -1.0)
-    u_raw = jnp.where(new_terminal, term_util, res.utility)
-    wl_new = jnp.where(new_terminal, term_util, res.wl)
-    d_new = jnp.where(new_terminal, (new_states.winner == 0).astype(jnp.float32), res.draw)
-    w_new = jnp.where(new_terminal, 1.0, _eval_weight(sp, res.shortterm_error))
+        new_terminal = new_states.done
+        term_util = _terminal_utility(new_states)
+        legal = jax.vmap(functools.partial(legal_mask_flat, cfg))(new_states)
+        new_prior = jnp.where(legal, _blend_policy(res, sp.policyOptimism), -1.0)
+        u_raw = jnp.where(new_terminal, term_util, res.utility)
+        wl_new = jnp.where(new_terminal, term_util, res.wl)
+        d_new = jnp.where(new_terminal, (new_states.winner == 0).astype(jnp.float32), res.draw)
+        w_new = jnp.where(new_terminal, 1.0, _eval_weight(sp, res.shortterm_error))
 
-    use_bias = sp.subtreeValueBiasFactor != 0.0
-    if use_bias:
-        new_keys = _bias_keys(cfg, new_states)
-        # addLeafValue: bias the initial utility toward the table entry
-        u_init = u_raw + jnp.where(new_terminal, 0.0, _bias_avg(sp, tree, bidx, new_keys))
-    else:
-        new_keys = jnp.zeros((B,), jnp.int32)
-        u_init = u_raw
+        use_bias = sp.subtreeValueBiasFactor != 0.0
+        if use_bias:
+            new_keys = _bias_keys(cfg, new_states)
+            # addLeafValue: bias the initial utility toward the table entry
+            u_init = u_raw + jnp.where(new_terminal, 0.0, _bias_avg(sp, tree, bidx, new_keys))
+        else:
+            new_keys = jnp.zeros((B,), jnp.int32)
+            u_init = u_raw
 
-    slot = jnp.where(do_alloc, new_idx, 0)  # slot-0 writes are masked out
+        slot = jnp.where(do_alloc, new_idx, 0)  # slot-0 writes are masked out
 
-    def upd(arr, val):
-        old = arr[bidx, slot]
-        return arr.at[bidx, slot].set(jnp.where(do_alloc, val, old))
+        def upd(arr, val):
+            old = arr[bidx, slot]
+            return arr.at[bidx, slot].set(jnp.where(do_alloc, val, old))
 
-    def upd_row(arr, val):
-        old = arr[bidx, slot]
-        return arr.at[bidx, slot].set(jnp.where(do_alloc[:, None], val, old))
+        def upd_row(arr, val):
+            old = arr[bidx, slot]
+            return arr.at[bidx, slot].set(jnp.where(do_alloc[:, None], val, old))
 
-    if sp.useGraphSearch:
-        sit_hash = upd_row(tree.sit_hash, new_hash)
-    else:
-        sit_hash = tree.sit_hash
+        if sp.useGraphSearch:
+            sit_hash = upd_row(tree.sit_hash, new_hash)
+        else:
+            sit_hash = tree.sit_hash
 
-    one = jnp.ones((B,), jnp.float32)
-    new_stats_row = _stats_row(one, w_new, w_new * w_new, u_init, u_init * u_init, wl_new, d_new)
-    new_self_row = jnp.stack([u_raw, wl_new, d_new, w_new], axis=-1)
+        one = jnp.ones((B,), jnp.float32)
+        new_stats_row = _stats_row(one, w_new, w_new * w_new, u_init, u_init * u_init, wl_new, d_new)
+        new_self_row = jnp.stack([u_raw, wl_new, d_new, w_new], axis=-1)
 
-    new_child_idx = jnp.where(do_link, found_idx, new_idx)
-    tree = tree._replace(
-        states=jax.tree_util.tree_map(
-            lambda full, new: full.at[bidx, slot].set(
-                jnp.where(
-                    jnp.reshape(do_alloc, (B,) + (1,) * (new.ndim - 1)),
-                    new,
-                    full[bidx, slot],
-                )
+        new_child_idx = jnp.where(do_link, found_idx, new_idx)
+        tree = tree._replace(
+            states=jax.tree_util.tree_map(
+                lambda full, new: full.at[bidx, slot].set(
+                    jnp.where(
+                        jnp.reshape(do_alloc, (B,) + (1,) * (new.ndim - 1)),
+                        new,
+                        full[bidx, slot],
+                    )
+                ),
+                tree.states,
+                new_states,
             ),
-            tree.states,
-            new_states,
-        ),
-        stats=upd_row(tree.stats, new_stats_row),
-        self_stats=upd_row(tree.self_stats, new_self_row),
-        prior=upd_row(tree.prior, new_prior),
-        policy_rank=(
-            tree.policy_rank.at[bidx, slot].set(
-                jnp.where(
-                    do_alloc[:, None],
-                    _policy_ranks(new_prior),
-                    tree.policy_rank[bidx, slot],
+            stats=upd_row(tree.stats, new_stats_row),
+            self_stats=upd_row(tree.self_stats, new_self_row),
+            prior=upd_row(tree.prior, new_prior),
+            policy_rank=(
+                tree.policy_rank.at[bidx, slot].set(
+                    jnp.where(
+                        do_alloc[:, None],
+                        _policy_ranks(new_prior),
+                        tree.policy_rank[bidx, slot],
+                    )
                 )
-            )
-            if sp.useNoisePruning
-            else tree.policy_rank
-        ),
-        parent=upd(tree.parent, leaf),
-        parent_action=upd(tree.parent_action, action),
-        is_terminal=upd(tree.is_terminal, new_terminal),
-        sit_hash=sit_hash,
-        bias_key=upd(tree.bias_key, new_keys) if use_bias else tree.bias_key,
-        children=tree.children.at[bidx, leaf, action].set(
-            jnp.where(do_alloc | do_link, new_child_idx, tree.children[bidx, leaf, action])
-        ),
-        node_count=tree.node_count + do_alloc.astype(jnp.int32),
-    )
-
-    # Stopping-edge visit bookkeeping:
-    #  * alloc/link: this playout traverses the new/linked edge once
-    #  * catch-up: claim exactly one edge visit (search.cpp:1199)
-    edge_inc = (do_alloc | do_link | caught).astype(jnp.int32)
-    tree = tree._replace(
-        edge_visits=tree.edge_visits.at[bidx, leaf, action].add(edge_inc)
-    )
-
-    # Terminal leaf (or capacity overflow): re-add its stored value
-    # (search.cpp:943-952) incrementally — terminal nodes have no children.
-    revisit = leaf_terminal | overflow
-    leaf_row = tree.stats[bidx, leaf]  # [B, 8]
-    leaf_self = tree.self_stats[bidx, leaf]
-    lw = leaf_self[:, F_W]
-    old_ws = leaf_row[:, S_W]
-    new_ws = old_ws + lw
-    inv = 1.0 / jnp.maximum(new_ws, _EPS)
-    lu = leaf_self[:, F_U]
-    revisit_row = _stats_row(
-        leaf_row[:, S_VISITS] + 1.0,
-        new_ws,
-        leaf_row[:, S_WSQ] + lw * lw,
-        (leaf_row[:, S_U] * old_ws + lu * lw) * inv,
-        (leaf_row[:, S_USQ] * old_ws + lu * lu * lw) * inv,
-        (leaf_row[:, S_WL] * old_ws + leaf_self[:, F_WL] * lw) * inv,
-        (leaf_row[:, S_DRAW] * old_ws + leaf_self[:, F_DRAW] * lw) * inv,
-    )
-    tree = tree._replace(
-        stats=tree.stats.at[bidx, leaf].set(
-            jnp.where(revisit[:, None], revisit_row, leaf_row)
+                if sp.useNoisePruning
+                else tree.policy_rank
+            ),
+            parent=upd(tree.parent, leaf),
+            parent_action=upd(tree.parent_action, action),
+            is_terminal=upd(tree.is_terminal, new_terminal),
+            sit_hash=sit_hash,
+            bias_key=upd(tree.bias_key, new_keys) if use_bias else tree.bias_key,
+            children=tree.children.at[bidx, leaf, action].set(
+                jnp.where(do_alloc | do_link, new_child_idx, tree.children[bidx, leaf, action])
+            ),
+            node_count=tree.node_count + do_alloc.astype(jnp.int32),
         )
-    )
 
-    # (traversed-edge visits were already added during the descent loop)
+        # Stopping-edge visit bookkeeping:
+        #  * alloc/link: this playout traverses the new/linked edge once
+        #  * catch-up: claim exactly one edge visit (search.cpp:1199)
+        edge_inc = (do_alloc | do_link | caught).astype(jnp.int32)
+        tree = tree._replace(
+            edge_visits=tree.edge_visits.at[bidx, leaf, action].add(edge_inc)
+        )
+
+        # Terminal leaf (or capacity overflow): re-add its stored value
+        # (search.cpp:943-952) incrementally — terminal nodes have no children.
+        revisit = leaf_terminal | overflow
+        leaf_row = tree.stats[bidx, leaf]  # [B, 8]
+        leaf_self = tree.self_stats[bidx, leaf]
+        lw = leaf_self[:, F_W]
+        old_ws = leaf_row[:, S_W]
+        new_ws = old_ws + lw
+        inv = 1.0 / jnp.maximum(new_ws, _EPS)
+        lu = leaf_self[:, F_U]
+        revisit_row = _stats_row(
+            leaf_row[:, S_VISITS] + 1.0,
+            new_ws,
+            leaf_row[:, S_WSQ] + lw * lw,
+            (leaf_row[:, S_U] * old_ws + lu * lw) * inv,
+            (leaf_row[:, S_USQ] * old_ws + lu * lu * lw) * inv,
+            (leaf_row[:, S_WL] * old_ws + leaf_self[:, F_WL] * lw) * inv,
+            (leaf_row[:, S_DRAW] * old_ws + leaf_self[:, F_DRAW] * lw) * inv,
+        )
+        tree = tree._replace(
+            stats=tree.stats.at[bidx, leaf].set(
+                jnp.where(revisit[:, None], revisit_row, leaf_row)
+            )
+        )
+
+        # (traversed-edge visits were already added during the descent loop)
 
     # ---------------- Backup ----------------
     # Recompute stats bottom-up along the path (updateStatsAfterPlayout →
@@ -1283,61 +1291,62 @@ def _simulate_once(
     # overflow revisit the leaf was updated incrementally above, so start at
     # its parent; for expansion/link/catch-up start at the stopping node
     # itself (its child edges changed).
-    limit = jnp.where(revisit | depth_capped, leaf_depth - 1, leaf_depth)
+    with jax.named_scope("ph_backup"):
+        limit = jnp.where(revisit | depth_capped, leaf_depth - 1, leaf_depth)
 
-    # The loop carry holds ONLY the arrays backup mutates (stats + the bias
-    # state). Carrying the whole Tree made XLA copy the untouched [B,N,A]
-    # buffers (children, edge_visits, prior, …) in and out of the loop every
-    # level — ~350µs/sim of pure buffer copies, profiled at B=256.
-    def backup_level(i, mut):
+        # The loop carry holds ONLY the arrays backup mutates (stats + the bias
+        # state). Carrying the whole Tree made XLA copy the untouched [B,N,A]
+        # buffers (children, edge_visits, prior, …) in and out of the loop every
+        # level — ~350µs/sim of pure buffer copies, profiled at B=256.
+        def backup_level(i, mut):
+            if use_bias:
+                tr = tree._replace(
+                    stats=mut[0],
+                    bias_table=mut[1],
+                    last_bias_delta=mut[2],
+                    last_bias_weight=mut[3],
+                )
+            else:
+                tr = tree._replace(stats=mut[0])
+            l = max_depth - i
+            n = path[:, l]
+            on_path = (l <= limit) & (n >= 0) & (l <= leaf_depth) & act_mask
+            # Children's raw stat rows from the descent's save buffer, with the
+            # one column this playout changed (the path/new/linked child at the
+            # level's recorded action) re-read fresh — no einsum re-gather.
+            cs_raw = jax.lax.dynamic_index_in_dim(
+                level_stats, jnp.minimum(l, max_depth), 1, keepdims=False
+            )
+            bidx_ = jnp.arange(n.shape[0])
+            pa = act_path[bidx_, jnp.minimum(l, max_depth)]
+            pchild = tr.children[bidx_, n, pa]
+            pok = pchild >= 0
+            prow = tr.stats[bidx_, jnp.maximum(pchild, 0)]
+            cs_raw = cs_raw.at[bidx_, pa].set(
+                jnp.where(pok[:, None], prow, cs_raw[bidx_, pa])
+            )
+            tr = _recompute_node(cfg, sp, tr, n, on_path, cs_raw=cs_raw)
+            if use_bias:
+                return (tr.stats, tr.bias_table, tr.last_bias_delta, tr.last_bias_weight)
+            return (tr.stats,)
+
+        # only levels up to the deepest leaf in the batch do any work; dynamic
+        # lower bound turns the fixed board-area unroll into ~actual-depth trips
+        deepest = jnp.max(jnp.where(act_mask, limit, 0))
         if use_bias:
-            tr = tree._replace(
+            mut0 = (tree.stats, tree.bias_table, tree.last_bias_delta, tree.last_bias_weight)
+        else:
+            mut0 = (tree.stats,)
+        mut = jax.lax.fori_loop(max_depth - deepest, max_depth + 1, backup_level, mut0)
+        if use_bias:
+            tree = tree._replace(
                 stats=mut[0],
                 bias_table=mut[1],
                 last_bias_delta=mut[2],
                 last_bias_weight=mut[3],
             )
         else:
-            tr = tree._replace(stats=mut[0])
-        l = max_depth - i
-        n = path[:, l]
-        on_path = (l <= limit) & (n >= 0) & (l <= leaf_depth) & act_mask
-        # Children's raw stat rows from the descent's save buffer, with the
-        # one column this playout changed (the path/new/linked child at the
-        # level's recorded action) re-read fresh — no einsum re-gather.
-        cs_raw = jax.lax.dynamic_index_in_dim(
-            level_stats, jnp.minimum(l, max_depth), 1, keepdims=False
-        )
-        bidx_ = jnp.arange(n.shape[0])
-        pa = act_path[bidx_, jnp.minimum(l, max_depth)]
-        pchild = tr.children[bidx_, n, pa]
-        pok = pchild >= 0
-        prow = tr.stats[bidx_, jnp.maximum(pchild, 0)]
-        cs_raw = cs_raw.at[bidx_, pa].set(
-            jnp.where(pok[:, None], prow, cs_raw[bidx_, pa])
-        )
-        tr = _recompute_node(cfg, sp, tr, n, on_path, cs_raw=cs_raw)
-        if use_bias:
-            return (tr.stats, tr.bias_table, tr.last_bias_delta, tr.last_bias_weight)
-        return (tr.stats,)
-
-    # only levels up to the deepest leaf in the batch do any work; dynamic
-    # lower bound turns the fixed board-area unroll into ~actual-depth trips
-    deepest = jnp.max(jnp.where(act_mask, limit, 0))
-    if use_bias:
-        mut0 = (tree.stats, tree.bias_table, tree.last_bias_delta, tree.last_bias_weight)
-    else:
-        mut0 = (tree.stats,)
-    mut = jax.lax.fori_loop(max_depth - deepest, max_depth + 1, backup_level, mut0)
-    if use_bias:
-        tree = tree._replace(
-            stats=mut[0],
-            bias_table=mut[1],
-            last_bias_delta=mut[2],
-            last_bias_weight=mut[3],
-        )
-    else:
-        tree = tree._replace(stats=mut[0])
+            tree = tree._replace(stats=mut[0])
     return tree, rng, level_stats
 
 
@@ -1448,16 +1457,17 @@ def _simulate_round(
     active0 = jnp.ones((B, K), bool)
     catch0 = jnp.zeros((B, K), bool)
     save0 = scratch if scratch is not None else make_round_scratch(cfg, tree, D, K)
-    leaf, leaf_depth, _, path, act_path, caught, ev_out, _, level_stats = (
-        jax.lax.while_loop(
-            cond,
-            body,
-            (
-                node0, depth0, active0, path0, acts0, catch0,
-                tree.edge_visits, jnp.asarray(0, jnp.int32), save0,
-            ),
+    with jax.named_scope("ph_descent"):
+        leaf, leaf_depth, _, path, act_path, caught, ev_out, _, level_stats = (
+            jax.lax.while_loop(
+                cond,
+                body,
+                (
+                    node0, depth0, active0, path0, acts0, catch0,
+                    tree.edge_visits, jnp.asarray(0, jnp.int32), save0,
+                ),
+            )
         )
-    )
     tree = tree._replace(edge_visits=ev_out)
     action = jnp.take_along_axis(act_path, leaf_depth[:, :, None], axis=2)[:, :, 0]
 
@@ -1472,7 +1482,8 @@ def _simulate_round(
     new_states_flat = jax.vmap(functools.partial(step, cfg))(
         leaf_states, action.reshape(B * K)
     )
-    res_flat = eval_fn(new_states_flat, k_eval)
+    with jax.named_scope("ph_nneval"):
+        res_flat = eval_fn(new_states_flat, k_eval)
 
     def slice_k(x, k):
         return x.reshape((B, K) + x.shape[1:])[:, k]
@@ -1707,6 +1718,7 @@ def _norm_cdf(z):
     return 0.5 * (1.0 + jax.lax.erf(z / jnp.sqrt(2.0)))
 
 
+@jax.named_scope("ph_recompute")
 def _recompute_node(
     cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: jax.Array, cs_raw=None,
     visit_inc: jax.Array | float = 1.0,
@@ -1868,6 +1880,7 @@ def run_search(
     root_hint: jax.Array | None = None,
     root_avoid: jax.Array | None = None,
     avoid_until: jax.Array | None = None,
+    with_diag: bool = False,
 ) -> Tree:
     """runWholeSearch equivalent (search.cpp:361-509): playouts for each of
     the B games, fully on device. jit this (closing over cfg/sp/eval_fn/
@@ -1882,7 +1895,15 @@ def run_search(
     child (the reference's beginSearch tree reuse, search.cpp:262-331) and
     playouts run only until every root reaches num_sims+1 total visits —
     reused visits count toward the budget exactly as the reference's
-    maxVisits does, which is where tree reuse saves compute."""
+    maxVisits does, which is where tree reuse saves compute.
+
+    `with_diag=True` additionally returns a dict of search-accounting
+    counters (the NNEvaluator stats role, nneval.h:171-176): `rounds` —
+    scalar int32, number of simulate rounds executed (each round submits ONE
+    batched NN forward of B rows, active or not — lockstep); and
+    `start_visits` — [B] f32 root visits already present when playouts began
+    (1 for a fresh tree; the reused subtree's visits under tree reuse), from
+    which per-game deficits and batch occupancy follow."""
     if max_nodes is None:
         max_nodes = num_sims + 2
     # Descent depth bound. With graph search, a playout truncated by the
@@ -1928,6 +1949,12 @@ def run_search(
                 return tree, rng, scratch
 
             tree, _, _ = jax.lax.fori_loop(0, rounds, body, (tree, k_sims, scratch0))
+            if with_diag:
+                B = tree.stats.shape[0]
+                return tree, {
+                    "rounds": jnp.asarray(rounds, jnp.int32),
+                    "start_visits": jnp.ones((B,), jnp.float32),
+                }
             return tree
 
         scratch0 = make_sim_scratch(cfg, tree, max_depth)
@@ -1942,6 +1969,12 @@ def run_search(
             return tree, rng, scratch
 
         tree, _, _ = jax.lax.fori_loop(0, num_sims, body, (tree, k_sims, scratch0))
+        if with_diag:
+            B = tree.stats.shape[0]
+            return tree, {
+                "rounds": jnp.asarray(num_sims, jnp.int32),
+                "start_visits": jnp.ones((B,), jnp.float32),
+            }
         return tree
 
     tree = advance_root(
@@ -1949,6 +1982,7 @@ def run_search(
         reuse_ok=reuse_ok, root_hint=root_hint, root_avoid=root_avoid,
     )
     target = float(num_sims + 1)
+    start_visits = tree.stats[:, 0, S_VISITS]
 
     if K > 1:
         scratch0 = make_round_scratch(cfg, tree, max_depth, K)
@@ -1969,9 +2003,11 @@ def run_search(
             )
             return tree, rng, it + 1, scratch
 
-        tree, _, _, _ = jax.lax.while_loop(
+        tree, _, it, _ = jax.lax.while_loop(
             cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32), scratch0)
         )
+        if with_diag:
+            return tree, {"rounds": it, "start_visits": start_visits}
         return tree
 
     scratch0 = make_sim_scratch(cfg, tree, max_depth)
@@ -1990,9 +2026,11 @@ def run_search(
         )
         return tree, rng, it + 1, scratch
 
-    tree, _, _, _ = jax.lax.while_loop(
+    tree, _, it, _ = jax.lax.while_loop(
         cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32), scratch0)
     )
+    if with_diag:
+        return tree, {"rounds": it, "start_visits": start_visits}
     return tree
 
 
@@ -2068,6 +2106,7 @@ def continue_search(
     return tree
 
 
+@jax.named_scope("ph_reuse")
 def advance_root(
     cfg: GameConfig,
     sp: SearchParams,
@@ -2396,6 +2435,7 @@ def _child_utility_stdev(tree: Tree, cs=None):
     )
 
 
+@jax.named_scope("ph_moveselect")
 def select_moves(
     cfg: GameConfig,
     sp: SearchParams,
