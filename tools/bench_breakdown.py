@@ -346,12 +346,17 @@ def main():
     unmatched = collections.Counter()
     for name, us in agg.items():
         key = name.lstrip("%")
-        # control-flow wrapper ops envelope their body's time — skip to
-        # avoid double counting (their children are attributed directly)
+        # wrapper events envelope their children's time — skip to avoid
+        # double counting: control-flow ops, and the whole-executable event
+        # the TPU lane emits (e.g. "jit__lambda(123...)")
         base = key.split(" ")[0]
         if re.match(r"(while|conditional|call)[\.\d]*$", base):
             continue
+        if re.match(r"jit_.*\(\d+\)$", base) or base.startswith("jit__"):
+            continue
         ph = op_phase.get(key) or op_phase.get(base)
+        if ph is None and re.match(r"(copy|bitcast|tuple|get-tuple-element)[\.\d]*$", base):
+            ph = "copies"  # layout/aliasing copies carry no source metadata
         if ph is None:
             unmatched[key] += us
             ph = "unattributed"
