@@ -25,7 +25,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts", "flagship_b6c96")
+def _artifacts_dir(base_dir: str) -> str:
+    # artifacts mirror is named after the run dir (flagship_b6c96,
+    # flagship_b10c128, ...) so several flagship runs can coexist
+    return os.path.join(
+        os.path.dirname(__file__), "..", "artifacts", os.path.basename(os.path.normpath(base_dir))
+    )
 
 
 def _promoted_models(base_dir: str):
@@ -40,7 +45,7 @@ def _promoted_models(base_dir: str):
 def seed_from_artifacts(base_dir: str, logger) -> None:
     """Copy the committed snapshot (promoted models + trainer checkpoint)
     into a fresh base_dir so the run continues where the last round stopped."""
-    art = os.path.abspath(ARTIFACTS)
+    art = os.path.abspath(_artifacts_dir(base_dir))
     if not os.path.isdir(os.path.join(art, "models")):
         return
     have = set(_promoted_models(base_dir))
@@ -68,7 +73,7 @@ def seed_from_artifacts(base_dir: str, logger) -> None:
 
 def sync_to_artifacts(base_dir: str, logger) -> None:
     """Mirror the durable run state into the tracked artifacts dir."""
-    art = os.path.abspath(ARTIFACTS)
+    art = os.path.abspath(_artifacts_dir(base_dir))
     os.makedirs(os.path.join(art, "models"), exist_ok=True)
     for m in _promoted_models(base_dir):
         dst = os.path.join(art, "models", m)
@@ -128,7 +133,7 @@ def warmstart_trainer_from_champion(base_dir: str, lc, cfg, logger) -> None:
     logger.write(f"flagship: warm-started trainer from champion {latest} (step {step})")
 
 
-def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5):
+def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5, model: str = "b6c96"):
     from katacoffee_tpu.command.loop import LoopConfig, run_loop
     from katacoffee_tpu.command.match import run_round_robin
     from katacoffee_tpu.dataio.checkpoints import load_exported_model
@@ -149,7 +154,7 @@ def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5):
         selfplay_visits=600,          # selfplay1.cfg:84 op point
         train_steps_per_cycle=400,
         train_batch=128,
-        model="b6c96",
+        model=model,
         gate_games=200,               # gatekeeper1.cfg op point
         gate_visits=150,
         use_gatekeeper=True,
@@ -204,4 +209,5 @@ if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.runs/flagship"
     cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     target = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    main(base, cycles, target)
+    model = sys.argv[4] if len(sys.argv) > 4 else "b6c96"
+    main(base, cycles, target, model)

@@ -58,20 +58,26 @@ def main(base=None, games=120, rows=24000, steps=600, visits=100):
                          segments_per_flush=4, seed=3)
     mixed_base = os.path.join(base, "mixed")
     solo_base = os.path.join(base, "solo")
-    run_mixed_selfplay(
-        mixed_base, [(cfg5, 1.0), (cfg7, 1.0)], sp, spc, logger,
-        rows_per_pass=rows, max_passes=1,
-    )
     import dataclasses
 
-    run_selfplay_daemon(
-        solo_base, cfg5, sp,
-        dataclasses.replace(spc, max_rows=rows, data_tag="5x5w4"), logger,
-    )
+    # stages are resumable: selfplay/shuffle/train each skip when their
+    # output already exists (the demo runs in long TPU stints)
+    if not os.path.isdir(os.path.join(mixed_base, "selfplay")):
+        run_mixed_selfplay(
+            mixed_base, [(cfg5, 1.0), (cfg7, 1.0)], sp, spc, logger,
+            rows_per_pass=rows, max_passes=1,
+        )
+    if not os.path.isdir(os.path.join(solo_base, "selfplay")):
+        run_selfplay_daemon(
+            solo_base, cfg5, sp,
+            dataclasses.replace(spc, max_rows=rows, data_tag="5x5w4"), logger,
+        )
 
     # --- 2. shuffle per size + train twins ---
     for b, tags in ((mixed_base, ["5x5w4", "7x7w5"]), (solo_base, ["5x5w4"])):
         for tag in tags:
+            if os.path.isdir(os.path.join(b, "shuffleddata", tag)):
+                continue
             shuffle_data(
                 [os.path.join(b, "selfplay", "random", "tdata_" + tag)],
                 os.path.join(b, "shuffleddata", tag),
@@ -82,20 +88,25 @@ def main(base=None, games=120, rows=24000, steps=600, visits=100):
     trc = TrainerConfig(model="b2c32", batch_size=128, max_steps=steps,
                         steps_per_export=10**9, checkpoint_every=10**9,
                         max_epochs_per_data=10**9, seed=11)
-    run_training_mixed(mixed_base, [cfg5, cfg7], tc, trc, logger)
-    # the solo twin uses the same per-size shuffle layout with one size
-    run_training_mixed(solo_base, [cfg5], tc, trc, logger)
+    if not os.path.isdir(os.path.join(mixed_base, "modelstobetested")):
+        run_training_mixed(mixed_base, [cfg5, cfg7], tc, trc, logger)
+    if not os.path.isdir(os.path.join(solo_base, "modelstobetested")):
+        # the solo twin uses the same per-size shuffle layout with one size
+        run_training_mixed(solo_base, [cfg5], tc, trc, logger)
 
     def latest_eval_fn(b, cfg):
         d = os.path.join(b, "modelstobetested")
         name = sorted(os.listdir(d))[-1]
-        # rebuild at the TARGET size's win_len: conv/head params carry no
-        # H/W or win_len, so the exported leaves map 1:1
+        # rebuild at the EXPORTED win_len: conv/head params carry no H/W so
+        # the net runs at any board size, but the longest-line aux head's
+        # class count is win_len+1 — it must match the trained params (the
+        # eval path never reads that head, so the target size's win_len is
+        # irrelevant here)
         _, params, _, meta = load_exported_model(os.path.join(d, name))
         from katacoffee_tpu.nn.configs import get_model_spec
         from katacoffee_tpu.nn.model import CoffeeNet
 
-        model = CoffeeNet(get_model_spec(meta["model"]), win_len=cfg.win_len)
+        model = CoffeeNet(get_model_spec(meta["model"]), win_len=meta["win_len"])
         return make_nn_eval_fn(cfg, model, params)
 
     # --- 3. matches ---
