@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def main(base=None, games=120, rows=24000, steps=600, visits=100):
+def main(base=None, games=160, rows=36000, steps=2000, visits=80):
     import jax
 
     from katacoffee_tpu.command.match import run_round_robin
@@ -63,8 +63,10 @@ def main(base=None, games=120, rows=24000, steps=600, visits=100):
     # stages are resumable: selfplay/shuffle/train each skip when their
     # output already exists (the demo runs in long TPU stints)
     if not os.path.isdir(os.path.join(mixed_base, "selfplay")):
+        # 7x7 gets double weight: it is the transfer target, and its rows
+        # are what the solo twin never sees
         run_mixed_selfplay(
-            mixed_base, [(cfg5, 1.0), (cfg7, 1.0)], sp, spc, logger,
+            mixed_base, [(cfg5, 1.0), (cfg7, 2.0)], sp, spc, logger,
             rows_per_pass=rows, max_passes=1,
         )
     if not os.path.isdir(os.path.join(solo_base, "selfplay")):
@@ -118,6 +120,73 @@ def main(base=None, games=120, rows=24000, steps=600, visits=100):
         records, elo = run_round_robin(
             cfg, {"mixed": mixed_fn, "solo": solo_fn}, games,
             visits, sp=gate_sp, seed=17, logger=logger,
+        )
+        (na, nb, wa, wb, draws) = records[0]
+        wins, losses = (wa, wb) if na == "mixed" else (wb, wa)
+        diff = elo.elos[elo.players.index("mixed")] - elo.elos[elo.players.index("solo")]
+        sd = float(sum(x * x for x in elo.stdevs) ** 0.5)
+        out[label] = {
+            "mixed_wins": wins, "solo_wins": losses, "draws": draws,
+            "elo_mixed_minus_solo": float(diff), "elo_stdev": sd,
+        }
+        print(label, out[label], flush=True)
+
+    # --- 4. raw-net probes. Search at match visits partially masks net
+    # quality (the win_len-relative threat planes + win_len global input,
+    # features.py ch15-17/glob0, transfer a 5x5w4 net to 7x7w5 BY DESIGN —
+    # the reference's own nninputs.cpp:656 semantics), so also measure what
+    # mixed training changes directly: held-out loss per size (fresh
+    # uniform-prior selfplay rows, unseen by both nets) and a low-visit
+    # match where play tracks raw priors/values more closely. ---
+    from katacoffee_tpu.dataio.trainingwrite import iter_shards, read_npz_rows, rows_to_batch
+    from katacoffee_tpu.train import compute_losses
+
+    held_base = os.path.join(base, "heldout")
+    for tag, cfg in (("5x5w4", cfg5), ("7x7w5", cfg7)):
+        d = os.path.join(held_base, tag)
+        if not os.path.isdir(os.path.join(d, "selfplay")):
+            run_selfplay_daemon(
+                d, cfg, sp,
+                dataclasses.replace(spc, max_rows=4000, data_tag=tag, seed=991),
+                logger,
+            )
+
+    def val_losses(model_base, cfg, tag):
+        d = os.path.join(model_base, "modelstobetested")
+        name = sorted(os.listdir(d))[-1]
+        model, params, _, meta = load_exported_model(os.path.join(d, name))
+        from katacoffee_tpu.nn.configs import get_model_spec
+        from katacoffee_tpu.nn.model import CoffeeNet
+
+        model = CoffeeNet(get_model_spec(meta["model"]), win_len=meta["win_len"])
+        loss_fn = jax.jit(lambda pr, b: compute_losses(cfg, model, pr, b)[1])
+        totals, wsum = {}, 0.0
+        data_dir = os.path.join(held_base, tag, "selfplay", "random", "tdata_" + tag)
+        for shard in iter_shards(data_dir):
+            batch = rows_to_batch(read_npz_rows(shard), cfg)
+            m = loss_fn(params, batch)
+            w = float(m["weight_sum"])
+            for k, v in m.items():
+                if k != "weight_sum":
+                    totals[k] = totals.get(k, 0.0) + float(v) * w
+            wsum += w
+        return {k: round(v / wsum, 4) for k, v in totals.items() if k in
+                ("loss", "loss_policy", "loss_value", "loss_ownership")}
+
+    out["heldout_loss"] = {}
+    for tag, cfg in (("5x5w4", cfg5), ("7x7w5", cfg7)):
+        out["heldout_loss"][tag] = {
+            "mixed": val_losses(mixed_base, cfg, tag),
+            "solo": val_losses(solo_base, cfg, tag),
+        }
+        print("heldout", tag, out["heldout_loss"][tag], flush=True)
+
+    for label, cfg in (("7x7w5_lowvisit", cfg7),):
+        mixed_fn = latest_eval_fn(mixed_base, cfg)
+        solo_fn = latest_eval_fn(solo_base, cfg)
+        records, elo = run_round_robin(
+            cfg, {"mixed": mixed_fn, "solo": solo_fn}, games, 24,
+            sp=gate_sp, seed=29, logger=logger,
         )
         (na, nb, wa, wb, draws) = records[0]
         wins, losses = (wa, wb) if na == "mixed" else (wb, wa)
