@@ -118,6 +118,10 @@ class SelfplayConfig:
     # mixed-board-size runs tag per-size data dirs (tdata_<tag>, sgfs_<tag>)
     # so the shuffler/trainer can bucket by shape (run_mixed_selfplay)
     data_tag: str = ""
+    # tree slots per search as a fraction of visits (lockstep capacity knob;
+    # binding under tree reuse — quality-gated at 0.64 by
+    # tools/nodebudget_quality.py before changing)
+    node_budget_frac: float = 0.64
 
 
 def run_selfplay_daemon(
@@ -202,6 +206,7 @@ def run_selfplay_daemon(
     cap_round = (8 * n_dev // math.gcd(8, n_dev)) if mesh_active else 8
     settings = SelfplaySettings(
         num_sims=spc.num_sims,
+        node_budget_frac=spc.node_budget_frac,
         startposes_prob=startposes_prob,
         hintposes_prob=hintposes_prob,
         side_position_prob=spc.side_position_prob,
