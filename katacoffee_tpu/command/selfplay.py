@@ -118,10 +118,11 @@ class SelfplayConfig:
     # mixed-board-size runs tag per-size data dirs (tdata_<tag>, sgfs_<tag>)
     # so the shuffler/trainer can bucket by shape (run_mixed_selfplay)
     data_tag: str = ""
-    # tree slots per search as a fraction of visits (lockstep capacity knob;
-    # binding under tree reuse — quality-gated at 0.64 by
-    # tools/nodebudget_quality.py before changing)
-    node_budget_frac: float = 0.64
+    # tree slots per search as a fraction of visits (lockstep capacity
+    # knob; binding under tree reuse). 0.4 is quality-gated end-to-end
+    # (tools/nodebudget_quality.py: twin nets trained on 0.4-budget vs
+    # 0.64-budget data are statistically equal) and +21% visits/s.
+    node_budget_frac: float = 0.4
 
 
 def run_selfplay_daemon(

@@ -47,15 +47,17 @@ class SelfplaySettings:
 
     num_sims: int = 100
     max_nodes: int | None = None  # default node_budget_frac * num_sims
-    # Selfplay node budget: with tree reuse + transpositions + terminal
-    # revisits, searches rarely allocate a full num_sims of nodes, and the
-    # per-level one-hot einsum cost scales with the node capacity N.
-    # 0.64×visits measured +33% visits/s at the 600-visit op point with
-    # move-choice agreement within seed noise (57.8% vs a 59.4%
-    # seed-to-seed baseline under root Dirichlet noise) and root values
-    # within 0.01. Overflowing playouts revisit their leaf (the same
-    # graceful degradation as a full memory-capped reference tree).
-    node_budget_frac: float = 0.64
+    # Selfplay node budget: the per-level one-hot gather einsum AND the
+    # dual-layout copies of the [B,N,A] buffers (round-4 phase split) scale
+    # with the node capacity N, so capacity is the main selfplay perf knob.
+    # Overflowing playouts revisit their leaf with catch-up bookkeeping (the
+    # same graceful degradation as a full memory-capped reference tree).
+    # History: 1.0 -> 0.64 (round 1, +33% visits/s, move agreement within
+    # seed noise); 0.64 -> 0.4 (round 4, +21% visits/s — and an END-TO-END
+    # gate this time: twin b2c32 nets trained on 24k rows generated at 0.4
+    # vs 0.64 are statistically equal head-to-head, 47-44-109 at 150-visit
+    # uncapped match searches; artifacts/nodebudget_{ab,quality}.json).
+    node_budget_frac: float = 0.4
     # TD lambdas, from the reference's boardArea-scaled formulas
     # (trainingwrite.h:141-146): lambda = 1 - 1/(1 + boardArea * c)
     td_coeffs: tuple = (0.176, 0.056, 0.016)
