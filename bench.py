@@ -45,9 +45,10 @@ def main():
     # 256→61.6k, 512→63.9k, 1024→43.9k visits/s); short segments keep each
     # device call ~10s, well under the ~20-25s tunnel watchdog. State carries
     # across segments, so tree reuse still engages mid-game. Node budget
-    # follows SelfplaySettings' quality-gated default (0.4×visits since
+    # follows SelfplaySettings' quality-gated default (0.3×visits since
     # round 4 — artifacts/nodebudget_quality.json: nets trained on
-    # 0.4-budget data match 0.64-budget nets head-to-head).
+    # 0.3/0.4/0.64-budget data are statistically identical in a 900-game
+    # three-way round-robin).
     B = 512
     moves_per_segment = 2
 

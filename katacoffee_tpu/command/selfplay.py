@@ -119,10 +119,11 @@ class SelfplayConfig:
     # so the shuffler/trainer can bucket by shape (run_mixed_selfplay)
     data_tag: str = ""
     # tree slots per search as a fraction of visits (lockstep capacity
-    # knob; binding under tree reuse). 0.4 is quality-gated end-to-end
-    # (tools/nodebudget_quality.py: twin nets trained on 0.4-budget vs
-    # 0.64-budget data are statistically equal) and +21% visits/s.
-    node_budget_frac: float = 0.4
+    # knob; binding under tree reuse). 0.3 is quality-gated end-to-end
+    # (tools/nodebudget_quality.py: nets trained on 0.3/0.4/0.64-budget
+    # data are statistically identical in a 900-game round-robin) and
+    # +45% visits/s over 0.64.
+    node_budget_frac: float = 0.3
 
 
 def run_selfplay_daemon(

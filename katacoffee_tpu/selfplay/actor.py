@@ -53,11 +53,14 @@ class SelfplaySettings:
     # Overflowing playouts revisit their leaf with catch-up bookkeeping (the
     # same graceful degradation as a full memory-capped reference tree).
     # History: 1.0 -> 0.64 (round 1, +33% visits/s, move agreement within
-    # seed noise); 0.64 -> 0.4 (round 4, +21% visits/s — and an END-TO-END
-    # gate this time: twin b2c32 nets trained on 24k rows generated at 0.4
-    # vs 0.64 are statistically equal head-to-head, 47-44-109 at 150-visit
-    # uncapped match searches; artifacts/nodebudget_{ab,quality}.json).
-    node_budget_frac: float = 0.4
+    # seed noise); 0.64 -> 0.4 -> 0.3 (round 4, +21% then +19.5% visits/s —
+    # and an END-TO-END gate this time: twin b2c32 nets trained on 24k-row
+    # datasets generated at each budget are statistically identical in a
+    # 900-game three-way round-robin at 150-visit uncapped match searches,
+    # all within +/-3 Elo at +/-14; artifacts/nodebudget_{ab,quality}.json).
+    # Re-run tools/nodebudget_quality.py before pushing below 0.3 — each
+    # step truncates more of the ~600-node demand (CLAUDE.md perf facts).
+    node_budget_frac: float = 0.3
     # TD lambdas, from the reference's boardArea-scaled formulas
     # (trainingwrite.h:141-146): lambda = 1 - 1/(1 + boardArea * c)
     td_coeffs: tuple = (0.176, 0.056, 0.016)

@@ -61,7 +61,7 @@ def search_counters(
     num_sims: int,
     moves: int = 10,
     seed: int = 0,
-    node_budget_frac: float = 0.4,
+    node_budget_frac: float = 0.3,
 ) -> dict[str, Any]:
     """Run `moves` consecutive searches with tree reuse at the bench operating
     point, collecting per-move diag (rounds, start visits) from
