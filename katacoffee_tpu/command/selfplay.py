@@ -552,6 +552,7 @@ def main(argv, **kw):
         record_tree_positions=c.get_bool("recordTreePositions", False),
         record_tree_threshold=c.get_int("recordTreeThreshold", 0),
         record_tree_target_weight=c.get_float("recordTreeTargetWeight", 0.0),
+        node_budget_frac=c.get_float("nodeBudgetFrac", 0.3),
     )
     logger = Logger(log_to_stdout=True)
     os.makedirs(args.output_dir, exist_ok=True)
