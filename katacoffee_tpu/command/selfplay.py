@@ -578,6 +578,9 @@ def main(argv, **kw):
             (GameConfig(s, s, w), p) for s, w, p in zip(sizes, winlens, rel)
         ]
         rows_per_pass = c.get_int("rowsPerPass", 20000)
+        # maxPasses=0 (or absent) means run FOREVER — daemon semantics, like
+        # the reference selfplay loop which never self-terminates
+        # (selfplay.cpp:271-358). Set maxPasses>=1 for a bounded stint.
         max_passes = c.get_int("maxPasses", 0) or None
         c.warn_unused(logger)
         run_mixed_selfplay(

@@ -514,7 +514,9 @@ def _gpool(x, mask, mask_sum):
     s = x.sum(axis=(1, 2))
     mean = s / mask_sum[:, None]
     sqrtdiv = jnp.sqrt(mask_sum)[:, None]
-    mx = (x + (mask - 1.0)).max(axis=(1, 2))
+    # eigenbackend.cpp poolRowsGPool inits the max accumulator at -1.0, so
+    # the pooled max is floored there even if every on-board cell is below.
+    mx = jnp.maximum((x + (mask - 1.0)).max(axis=(1, 2)), -1.0)
     return jnp.concatenate([mean, mean * (sqrtdiv - 14.0) * 0.1, mx], axis=-1)
 
 

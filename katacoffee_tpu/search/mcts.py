@@ -300,9 +300,13 @@ class NNResultCache:
     recomputes, repeated analyze of a board) and each query is a full-head
     forward.
 
-    Keyed EXACTLY (board bytes + to_move + lastLoc) rather than by zobrist
-    hash: serving batches are tiny, so exactness is free and collision-proof
-    where the reference needs 128-bit hashes. LRU via dict insertion order.
+    Keyed EXACTLY (board bytes + to_move + full recent-move ring) rather
+    than by zobrist hash: serving batches are tiny, so exactness is free and
+    collision-proof where the reference needs 128-bit hashes. The recent
+    ring (not just lastLoc) is part of the key because extract_features
+    consumes recent_spots/recent_dirs[1..4] as input planes 7-10 — two
+    queries with the same board+lastLoc but different earlier move order
+    are different NN inputs. LRU via dict insertion order.
     Batch policy: all rows hit -> stacked cached result, zero device work;
     any miss -> forward the WHOLE batch once (keeps one compiled shape) and
     insert every row."""
@@ -319,8 +323,8 @@ class NNResultCache:
         return (
             np.asarray(states.board[i]).tobytes(),
             int(states.to_move[i]),
-            int(states.last_spot[i]),
-            int(states.last_dir[i]),
+            np.asarray(states.recent_spots[i]).tobytes(),
+            np.asarray(states.recent_dirs[i]).tobytes(),
         )
 
     def __call__(self, states: GameState):

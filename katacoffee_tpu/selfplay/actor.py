@@ -60,6 +60,12 @@ class SelfplaySettings:
     # all within +/-3 Elo at +/-14; artifacts/nodebudget_{ab,quality}.json).
     # Re-run tools/nodebudget_quality.py before pushing below 0.3 — each
     # step truncates more of the ~600-node demand (CLAUDE.md perf facts).
+    # GATE SCOPE LIMIT (ADVICE r4): the round-4 gate used b2c32 proxy nets
+    # on 5x5 at +/-14 Elo resolution; the budget binds hard (~180 slots vs
+    # ~600 demanded), so effects below that power, or specific to larger
+    # nets/boards, were undetected there. Round-5 re-gate at flagship scale:
+    # see artifacts/nodebudget_flagship.json / STATUS.md before relying on
+    # 0.3 for larger boards/models.
     node_budget_frac: float = 0.3
     # TD lambdas, from the reference's boardArea-scaled formulas
     # (trainingwrite.h:141-146): lambda = 1 - 1/(1 + boardArea * c)

@@ -47,19 +47,32 @@ def test_cache_hits_and_exactness():
         np.testing.assert_array_equal(out1[k], out2[k])
 
     # same stones, different last move -> distinct key (legality-relevant;
-    # constructed directly since Coffee's line constraint fixes move order)
+    # constructed directly since Coffee's line constraint fixes move order).
+    # The key reads the recent-move ring (slot 0 IS the last move).
     base = _states([[0, 26]])
-    st_a = base._replace(
-        last_spot=jnp.asarray([1], jnp.int32), last_dir=jnp.asarray([1], jnp.int32)
-    )
-    st_b = base._replace(
-        last_spot=jnp.asarray([0], jnp.int32), last_dir=jnp.asarray([1], jnp.int32)
-    )
+    ring_a = np.asarray(base.recent_spots).copy()
+    ring_b = ring_a.copy()
+    ring_a[0, 0], ring_b[0, 0] = 1, 0
+    st_a = base._replace(recent_spots=jnp.asarray(ring_a))
+    st_b = base._replace(recent_spots=jnp.asarray(ring_b))
     assert np.array_equal(np.asarray(st_a.board), np.asarray(st_b.board))
     cache(st_a)
     n_calls = len(calls)
     cache(st_b)
     assert len(calls) == n_calls + 1, "different last move must miss"
+
+    # same stones + same LAST move, different EARLIER move order -> distinct
+    # key: extract_features consumes recent_spots[1..4] as planes 7-10, so a
+    # last-move-only key would serve a stale policy (ADVICE r4 medium).
+    ring_c, ring_d = ring_a.copy(), ring_a.copy()
+    ring_c[0, 1], ring_c[0, 2] = 5, 7
+    ring_d[0, 1], ring_d[0, 2] = 7, 5
+    st_c = base._replace(recent_spots=jnp.asarray(ring_c))
+    st_d = base._replace(recent_spots=jnp.asarray(ring_d))
+    cache(st_c)
+    n_calls = len(calls)
+    cache(st_d)
+    assert len(calls) == n_calls + 1, "different history order must miss"
 
 
 def test_cache_lru_eviction():

@@ -116,11 +116,21 @@ def warmstart_trainer_from_champion(base_dir: str, lc, cfg, logger) -> None:
     latest = max(models, key=lambda m: int(m.rsplit("-s", 1)[1]))
     step = int(latest.rsplit("-s", 1)[1])
     model, params, mcfg, meta = load_exported_model(os.path.join(base_dir, "models", latest))
+    # Derive the spec from the champion's own exported meta, not the CLI
+    # model arg: resuming e.g. flagship_b10c128 with the default arg would
+    # otherwise graft differently-shaped champion params into a b6c96 train
+    # state (ADVICE r4). The CLI arg is only cross-checked.
+    champ_model = meta.get("model", lc.model)
+    if champ_model != lc.model:
+        logger.write(
+            f"flagship: champion meta says model={champ_model}, overriding "
+            f"CLI/default '{lc.model}' for the warm-started train state"
+        )
     tc = TrainConfig(
         learning_rate=lc.learning_rate, warmup_samples_scale=lc.warmup_samples_scale
     )
     state = init_train_state(
-        CoffeeNet(get_model_spec(lc.model), win_len=cfg.win_len),
+        CoffeeNet(get_model_spec(champ_model), win_len=cfg.win_len),
         cfg, tc, batch_size=lc.train_batch, rng=jax.random.PRNGKey(lc.seed),
     )
     state = state._replace(
@@ -146,6 +156,22 @@ def main(base_dir: str, max_cycles: int = 24, target_promotions: int = 5, model:
     logger = Logger(log_to_stdout=True)
     logger.add_file(os.path.join(base_dir, "flagship_log.txt"))
     seed_from_artifacts(base_dir, logger)
+
+    # When resuming a run that already has promoted models, the models' own
+    # exported meta is authoritative for the architecture — a forgotten 4th
+    # CLI arg must not graft e.g. b10c128 champion params into a b6c96 train
+    # state (ADVICE r4). CLI arg only matters for brand-new runs.
+    promoted = _promoted_models(base_dir)
+    if promoted:
+        latest = max(promoted, key=lambda m: int(m.rsplit("-s", 1)[1]))
+        with open(os.path.join(base_dir, "models", latest, "model.json")) as f:
+            champ_model = json.load(f).get("model", model)
+        if champ_model != model:
+            logger.write(
+                f"flagship: run's champion is {champ_model}; overriding CLI "
+                f"model arg '{model}'"
+            )
+            model = champ_model
 
     lc = LoopConfig(
         num_cycles=1,  # driven one cycle at a time so we can stop at the target
