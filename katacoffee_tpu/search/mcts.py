@@ -1044,6 +1044,7 @@ def _simulate_once(
     depth gating (searchexplorehelpers.cpp:395-421; depth = plies below the
     root). None (the selfplay path) compiles to no extra ops."""
     B = tree.stats.shape[0]
+    A2 = tree.prior.shape[-1]
     bidx = jnp.arange(B)
     k_leak, k_eval, rng = jax.random.split(rng, 3)
     act_mask = jnp.ones((B,), bool) if active is None else active
@@ -1109,7 +1110,17 @@ def _simulate_once(
         acts = acts.at[bidx, jnp.where(active_ & ~term, depth, max_depth)].set(
             jnp.where(active_ & ~term, act, acts[:, max_depth])
         )
-        ev = ev.at[bidx, node, act].add((move_on & act_mask).astype(jnp.int32))
+        # Edge-visit increment as a ROW read-modify-write, not an element
+        # scatter: TPU element scatters on [B,N,A] emit a B-minor {0,1,2}
+        # layout while every row gather in this loop wants A-minor {2,0,1},
+        # so the element form made XLA insert a 37MB layout-conversion copy
+        # of the whole buffer per sim (round-4 phase split: copies 12.6%).
+        # The row gather here CSEs with _edge_stats_from_raw's `evis` read.
+        inc_row = (
+            (act[:, None] == jnp.arange(ev.shape[-1])[None, :])
+            & (move_on & act_mask)[:, None]
+        ).astype(jnp.int32)
+        ev = ev.at[bidx, node].set(ev[bidx, node] + inc_row)
         new_node = jnp.where(move_on, cidx, node)
         new_depth = jnp.where(move_on, depth + 1, depth)
         path = path.at[bidx, jnp.where(move_on, new_depth, 0)].set(
@@ -1248,18 +1259,30 @@ def _simulate_once(
             is_terminal=upd(tree.is_terminal, new_terminal),
             sit_hash=sit_hash,
             bias_key=upd(tree.bias_key, new_keys) if use_bias else tree.bias_key,
-            children=tree.children.at[bidx, leaf, action].set(
-                jnp.where(do_alloc | do_link, new_child_idx, tree.children[bidx, leaf, action])
+            # Child-link write in ROW form (same layout rationale as the
+            # descent loop's edge-visit row write: element scatters on
+            # [B,N,A] force a B-minor layout + a per-sim conversion copy).
+            children=tree.children.at[bidx, leaf].set(
+                jnp.where(
+                    (action[:, None] == jnp.arange(A2)[None, :])
+                    & (do_alloc | do_link)[:, None],
+                    new_child_idx[:, None],
+                    tree.children[bidx, leaf],
+                )
             ),
             node_count=tree.node_count + do_alloc.astype(jnp.int32),
         )
 
-        # Stopping-edge visit bookkeeping:
+        # Stopping-edge visit bookkeeping (row form, see above):
         #  * alloc/link: this playout traverses the new/linked edge once
         #  * catch-up: claim exactly one edge visit (search.cpp:1199)
         edge_inc = (do_alloc | do_link | caught).astype(jnp.int32)
         tree = tree._replace(
-            edge_visits=tree.edge_visits.at[bidx, leaf, action].add(edge_inc)
+            edge_visits=tree.edge_visits.at[bidx, leaf].set(
+                tree.edge_visits[bidx, leaf]
+                + (action[:, None] == jnp.arange(A2)[None, :]).astype(jnp.int32)
+                * edge_inc[:, None]
+            )
         )
 
         # Terminal leaf (or capacity overflow): re-add its stored value
@@ -1439,8 +1462,13 @@ def _simulate_round(
             acts = acts.at[bidx, k, jnp.where(ak & ~term, depth[:, k], D)].set(
                 jnp.where(ak & ~term, act, acts[:, k, D])
             )
-            ev = ev.at[bidx, nk, act].add(
-                (move_on & act_mask[:, k]).astype(jnp.int32)
+            # row RMW, not element scatter — layout rationale in _simulate_once
+            ev = ev.at[bidx, nk].set(
+                ev[bidx, nk]
+                + (
+                    (act[:, None] == jnp.arange(ev.shape[-1])[None, :])
+                    & (move_on & act_mask[:, k])[:, None]
+                ).astype(jnp.int32)
             )
             nd = jnp.where(move_on, depth[:, k] + 1, depth[:, k])
             node = node.at[:, k].set(jnp.where(move_on, cidx, nk))
@@ -1605,11 +1633,12 @@ def _simulate_round(
             is_terminal=upd(tree.is_terminal, new_terminal),
             sit_hash=sit_hash,
             bias_key=upd(tree.bias_key, new_keys) if use_bias else tree.bias_key,
-            children=tree.children.at[bidx, leaf_k, action_k].set(
+            children=tree.children.at[bidx, leaf_k].set(
                 jnp.where(
-                    do_alloc | do_link,
-                    new_child_idx,
-                    tree.children[bidx, leaf_k, action_k],
+                    (action_k[:, None] == jnp.arange(tree.prior.shape[-1])[None, :])
+                    & (do_alloc | do_link)[:, None],
+                    new_child_idx[:, None],
+                    tree.children[bidx, leaf_k],
                 )
             ),
             node_count=tree.node_count + do_alloc.astype(jnp.int32),
@@ -1617,7 +1646,11 @@ def _simulate_round(
 
         edge_inc = (do_alloc | do_link | caught_k).astype(jnp.int32)
         tree = tree._replace(
-            edge_visits=tree.edge_visits.at[bidx, leaf_k, action_k].add(edge_inc)
+            edge_visits=tree.edge_visits.at[bidx, leaf_k].set(
+                tree.edge_visits[bidx, leaf_k]
+                + (action_k[:, None] == jnp.arange(tree.prior.shape[-1])[None, :]).astype(jnp.int32)
+                * edge_inc[:, None]
+            )
         )
 
         revisit = term_leaf_k | overflow
