@@ -26,6 +26,7 @@ root mover's depth-0 row doubling as the root prior mask.
 from __future__ import annotations
 
 import dataclasses
+import io
 import select
 import sys
 import time
@@ -97,6 +98,19 @@ KNOWN_COMMANDS = [
 ]
 
 
+_GENMOVE_CMDS = {
+    "genmove", "genmove_debug", "genmove_analyze",
+    "lz-genmove_analyze", "kata-genmove_analyze",
+}
+
+
+def _is_genmove_line(line: str) -> bool:
+    toks = line.split()
+    if toks and toks[0].isdigit():  # optional GTP id prefix
+        toks = toks[1:]
+    return bool(toks) and toks[0] in _GENMOVE_CMDS
+
+
 def _parse_player(s: str) -> int:
     s = s.lower()
     if s in ("b", "black"):
@@ -117,6 +131,8 @@ class GTPEngine:
         name: str = "KataCoffee-TPU",
         seed: int = 0,
         raw_fwd=None,
+        ponder_enabled: bool = False,
+        max_visits_pondering: int | None = None,
     ):
         self.cfg = cfg
         self.sp = search_params
@@ -130,7 +146,18 @@ class GTPEngine:
         # reference with debugSkipNeuralNet
         self.raw_fwd = raw_fwd
         self.komi = 0.0
-        self.engine = Engine(cfg, search_params, eval_fn, seed=seed)
+        # Pondering (gtp_example.cfg:290-296 ponderingEnabled /
+        # maxVisitsPondering; AsyncBot ponder path): after a genmove reply,
+        # keep searching the current position in visit chunks while stdin is
+        # idle; the retained tree is advanced through played moves and the
+        # next genmove resumes from it (tree reuse), cutting its latency.
+        # maxVisitsPondering bounds the node arrays the chunks are compiled
+        # at (the reference's is time-bounded instead; a visit bound is the
+        # compiled-capacity-honest equivalent). Default 4x the move budget.
+        self.ponder_enabled = bool(ponder_enabled)
+        self.max_visits_pondering = int(max_visits_pondering or 4 * max_visits)
+        self._ponder_last = 0  # root visits reached by the last ponder
+        self.engine = self._new_engine()
         self.time_controls = {1: TimeControls(), 2: TimeControls()}
         self.cpu_time = 0.0
         self._io = None  # (infile, outfile) while run() is active
@@ -139,6 +166,41 @@ class GTPEngine:
         # gtp.cpp `logAllGTPCommunication` (gtp_example.cfg:30): log every
         # controller line and engine response to the configured sinks
         self.log_all_gtp = True
+
+    def _new_engine(self) -> Engine:
+        eng = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
+        if self.ponder_enabled:
+            eng.reuse_enabled = True
+            eng.min_reuse_cap = Engine._bucket_cap(
+                max(self.max_visits, self.max_visits_pondering)
+            )
+        return eng
+
+    def _maybe_ponder(self, infile) -> int:
+        """Run ponder chunks on the current position until new input arrives
+        (select-polled between compiled chunks), the ponder visit budget is
+        met, or the game is over. Returns the root visit count reached (0 if
+        pondering did not run). Called by run() after a genmove response —
+        the reference's `bot->ponder()` site (gtp.cpp genmove handling)."""
+        if not self.ponder_enabled or self.engine.game_over:
+            return 0
+
+        def input_waiting() -> bool:
+            try:
+                r, _, _ = select.select([infile], [], [], 0.0)
+                return bool(r)
+            except (OSError, ValueError, io.UnsupportedOperation):
+                # not a selectable stream (e.g. StringIO test driver):
+                # treat input as always-pending so pondering never blocks
+                return True
+
+        done = 0
+        for _tree, done in self.engine.ponder_stream(
+            self.max_visits_pondering, interval_visits=max(1, self.max_visits // 4)
+        ):
+            if input_waiting():
+                break
+        return done
 
     def log(self, msg: str):
         if self.logger is not None:
@@ -645,7 +707,7 @@ class GTPEngine:
             if not (2 <= x <= 19 and 2 <= y <= 19):
                 raise ValueError("unacceptable size")
             self.cfg = GameConfig(x, y, self.cfg.win_len)
-            self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
+            self.engine = self._new_engine()
         elif cmd == "clear_board":
             self.engine.clear_board()
         elif cmd == "set_position":
@@ -677,7 +739,7 @@ class GTPEngine:
             # only the winLen rule exists; accept "coffee" or winLen updates
             if cmd == "kata-set-rule" and len(args) == 2 and args[0] == "winLen":
                 self.cfg = GameConfig(self.cfg.x_size, self.cfg.y_size, int(args[1]))
-                self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
+                self.engine = self._new_engine()
             elif cmd == "kata-set-rules" and args and args[0].lower() != "coffee":
                 raise ValueError("only coffee rules are supported")
         elif cmd == "kgs-rules":
@@ -757,7 +819,7 @@ class GTPEngine:
             spec = self._parse_analyze_args(args)
             resp = self._run_analyze(spec)
         elif cmd == "clear_cache":
-            self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
+            self.engine = self._new_engine()
         elif cmd == "showboard":
             resp = "\n" + self.engine.showboard()
         elif cmd == "time_settings":
@@ -860,7 +922,7 @@ class GTPEngine:
             sgf = parse_sgf_file(args[0])
             x, y = sgf.board_size()
             self.cfg = GameConfig(x, y, sgf.win_len())
-            self.engine = Engine(self.cfg, self.sp, self.eval_fn, seed=self.seed)
+            self.engine = self._new_engine()
             moves = sgf.moves()
             pls = sgf.placements()
             if pls:
@@ -913,6 +975,14 @@ class GTPEngine:
             outfile.flush()
             if quit_:
                 break
+            if self.ponder_enabled and out.startswith("=") and _is_genmove_line(line):
+                # reference gtp.cpp: bot->ponder() right after the genmove
+                # reply; here: chunked background search until the next
+                # command arrives (see _maybe_ponder)
+                v = self._maybe_ponder(infile)
+                self._ponder_last = v
+                if v and self.log_all_gtp:
+                    self.log(f"Pondered to {v} visits")
 
 
 def main(argv: list[str], cfg=None, search_params=None, eval_fn=None, **kw):
@@ -937,6 +1007,15 @@ def main(argv: list[str], cfg=None, search_params=None, eval_fn=None, **kw):
         cfg = cfg or load_game_config(c)
         sp = load_search_params(c, sp)
         max_visits = c.get_int("maxVisits", max_visits)
+        # ponderingEnabled / maxVisitsPondering (gtp_example.cfg:290-296);
+        # maxTimePondering accepted for compat — chunked pondering stops on
+        # input arrival, so the visit bound is the binding one here
+        kw.setdefault("ponder_enabled", c.get_bool("ponderingEnabled", False))
+        if c.contains("maxVisitsPondering"):
+            kw.setdefault(
+                "max_visits_pondering", c.get_int("maxVisitsPondering", 0) or None
+            )
+        c.get_float("maxTimePondering", 0.0)
         c.get_bool("logToStdoutInsteadOfFile", False)  # accepted for compat
         # gtp.cpp logging surface: logFile/logDir/logDirDated sinks plus
         # logAllGTPCommunication / logSearchInfo toggles

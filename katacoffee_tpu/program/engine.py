@@ -102,6 +102,19 @@ class Engine:
         # the most recent search's tree ([1, N] arrays) — read by the GTP
         # frontend for tree-averaged ownership right after a search
         self.last_tree: mcts.Tree | None = None
+        # Ponder/tree-reuse state (the AsyncBot ponder + beginSearch tree
+        # reuse roles, cpp/search/asyncbot.cpp ponder path + search.cpp:
+        # 262-331): a retained search tree ROOTED AT THE CURRENT POSITION,
+        # advanced through every played move, consumed by the next
+        # search/genmove as a head start. Only populated when the frontend
+        # enables it (ponderingEnabled) so the default path — and every
+        # golden test — is byte-identical to before.
+        self.reuse_enabled = False
+        self._reuse: tuple[mcts.Tree, int] | None = None  # (tree, node cap)
+        # node-capacity floor for reuse-path searches, so a genmove tree is
+        # big enough for the follow-up ponder budget (frontend sets this to
+        # bucket(max(maxVisits, ponder visits)))
+        self.min_reuse_cap = 0
         self.clear_board()
 
     # ------------------------------------------------------------------
@@ -113,6 +126,7 @@ class Engine:
         self.move_history: list[tuple[int, int, int, int]] = []  # (x, y, d, pla)
         self._state_stack: list[GameState] = []
         self.last_tree = None
+        self._reuse = None
 
     def set_position(self, board: np.ndarray, to_move: int, last_move: tuple[int, int, int] | None = None):
         """Arbitrary position (GTP set_position / SGF placements). History
@@ -138,6 +152,7 @@ class Engine:
         self.state = st
         self.move_history = []
         self._state_stack = []
+        self._reuse = None
 
     def set_search_params(self, sp: SearchParams):
         """Swap the search parameters mid-game (GTP kata-set-param): the
@@ -145,12 +160,14 @@ class Engine:
         is dropped; position and clock state are untouched."""
         self.sp = sp
         self._search_fns.clear()
+        self._reuse = None
 
     def set_to_move(self, pla: int):
         """Override the player to move at the current position (the
         reference's GTPEngine analyze-for-either-player and out-of-order
         `play` support re-root the search this way)."""
         self.state = self.state._replace(to_move=jnp.asarray(pla, jnp.int8))
+        self._reuse = None
 
     def stone_count(self) -> int:
         """Stones on the current board (Board::isEmpty role for the GTP
@@ -178,12 +195,25 @@ class Engine:
         mover = int(self.state.to_move)
         self.state = self._step1(self.state, jnp.asarray(a))
         self.move_history.append((x, y, d, mover))
+        if self._reuse is not None:
+            if self.game_over:
+                self._reuse = None
+            else:
+                # carry the retained tree through the played move (beginSearch
+                # tree reuse — search.cpp:262-331; falls back to a fresh root
+                # eval inside advance_root when the child was never expanded)
+                tree, cap = self._reuse
+                tree = self._get_advance_fn(cap)(
+                    tree, jnp.asarray(a), self.state, self._next_key()
+                )
+                self._reuse = (tree, cap)
 
     def undo(self):
         if not self._state_stack:
             raise ValueError("nothing to undo")
         self.state = self._state_stack.pop()
         self.move_history.pop()
+        self._reuse = None
 
     @property
     def game_over(self) -> bool:
@@ -233,6 +263,32 @@ class Engine:
         if self.game_over:
             raise ValueError("game is over")
         t0 = time.monotonic()
+        if self.reuse_enabled and avoid is None and avoid_until is None:
+            # Tree-reuse path (pondering enabled): start from the retained
+            # tree when one exists and continue to the TOTAL visit target —
+            # reused visits count toward the budget exactly as the
+            # reference's maxVisits does under tree reuse, which is where
+            # pondering buys genmove latency. A fresh search (no retained
+            # tree) runs through the same cap-bucketed fns so ITS tree is
+            # reusable by the following ponder/genmove.
+            cap = max(self._bucket_cap(max_visits), self.min_reuse_cap)
+            start, cont = self._get_stream_fns_cap(cap)
+            avoid0 = jnp.zeros((self.cfg.policy_size,), bool)
+            until0 = jnp.zeros((2, self.cfg.policy_size), jnp.int32)
+            if self._reuse is not None and self._reuse[1] >= self._bucket_cap(
+                max_visits
+            ):
+                tree, cap = self._reuse
+                _, cont = self._get_stream_fns_cap(cap)
+            else:
+                tree = start(self.state, self._next_key(), avoid0, until0)
+            tree = cont(
+                tree, self._next_key(), jnp.asarray(float(max_visits + 1)), until0
+            )
+            jax.block_until_ready(tree.visits)
+            self.last_tree = tree
+            self._reuse = (tree, cap)
+            return tree
         if avoid is not None or avoid_until is not None:
             # search_stream maintains visits_per_second per chunk itself;
             # re-applying an EMA here would fold the stream fns' compile time
@@ -261,11 +317,17 @@ class Engine:
     # conditions; here the host checks between compiled chunks)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _bucket_cap(max_visits: int) -> int:
+        return 1 << max(6, int(max_visits + 2 - 1).bit_length())
+
     def _get_stream_fns(self, max_visits: int):
         """(start_fn, cont_fn) compiled for a bucketed node capacity: ONE
         compilation serves every visit budget up to the bucket, with the
         per-chunk visit target traced (mcts.continue_search)."""
-        cap = 1 << max(6, int(max_visits + 2 - 1).bit_length())
+        return self._get_stream_fns_cap(self._bucket_cap(max_visits))
+
+    def _get_stream_fns_cap(self, cap: int):
         key = ("stream", cap)
         fns = self._search_fns.get(key)
         if fns is None:
@@ -287,6 +349,70 @@ class Engine:
             self._search_fns[key] = fns
         return fns
 
+    def _get_advance_fn(self, cap: int):
+        """Jitted advance_root at node capacity `cap` (B=1): re-roots a
+        retained tree at the child reached by `action` from the position the
+        tree was searched at; the caller passes the POST-move state."""
+        key = ("advance", cap)
+        fn = self._search_fns.get(key)
+        if fn is None:
+            cfg, sp, ev = self.cfg, self.sp, self.eval_fn
+
+            def adv(tree, action, new_state, rng):
+                roots = jax.tree_util.tree_map(lambda x: x[None], new_state)
+                return mcts.advance_root(
+                    cfg, sp, ev, tree, action[None], roots, rng,
+                    turn_number=roots.num_turns,
+                )
+
+            fn = jax.jit(adv)
+            self._search_fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # Pondering (asyncbot.cpp ponder path; gtp_example.cfg:290-296)
+    # ------------------------------------------------------------------
+
+    def ponder_stream(self, max_visits: int, interval_visits: int = 64):
+        """Background search of the CURRENT position, chunked so the caller
+        can poll for new input between compiled device calls — the TPU-native
+        shape of the reference's ponder thread (AsyncBot::ponder,
+        asyncbot.cpp): instead of a thread racing stdin, the host runs short
+        `continue_search` chunks while idle and stops between chunks.
+
+        Yields (tree, total_root_visits) after every chunk. The tree is
+        retained in `self._reuse`; a later `search`/`genmove` at this
+        position starts from it, and `play` advances it through moves — so
+        ponder visits directly reduce the next genmove's latency (KataGo's
+        ponder + tree-reuse semantics: maxVisits counts REUSED visits too,
+        search.cpp beginSearch)."""
+        if self.game_over:
+            return
+        cap = max(self._bucket_cap(max_visits), self.min_reuse_cap)
+        if self._reuse is not None and self._reuse[1] >= cap:
+            tree, cap = self._reuse
+            start, cont = self._get_stream_fns_cap(cap)
+        else:
+            start, cont = self._get_stream_fns_cap(cap)
+            avoid0 = jnp.zeros((self.cfg.policy_size,), bool)
+            until0 = jnp.zeros((2, self.cfg.policy_size), jnp.int32)
+            tree = start(self.state, self._next_key(), avoid0, until0)
+            self._reuse = (tree, cap)
+        until0 = jnp.zeros((2, self.cfg.policy_size), jnp.int32)
+        done = int(np.asarray(tree.visits[0, 0]))
+        self.last_tree = tree
+        yield tree, done
+        while done <= max_visits:
+            target = min(done + max(int(interval_visits), 1), max_visits + 1)
+            tree = cont(tree, self._next_key(), jnp.asarray(float(target)), until0)
+            jax.block_until_ready(tree.visits)
+            done = int(np.asarray(tree.visits[0, 0]))
+            self._reuse = (tree, cap)
+            self.last_tree = tree
+            yield tree, done
+            if done >= target and done > max_visits:
+                break
+
     def search_stream(
         self,
         max_visits: int,
@@ -305,7 +431,22 @@ class Engine:
         futile-visits)."""
         if self.game_over:
             raise ValueError("game is over")
-        start, cont = self._get_stream_fns(max_visits)
+        plain = avoid is None and avoid_until is None
+        if (
+            plain
+            and self._reuse is not None
+            and self._reuse[1] >= self._bucket_cap(max_visits)
+        ):
+            # resume from the pondered/retained tree (see search())
+            tree, rcap = self._reuse
+            start, cont = self._get_stream_fns_cap(rcap)
+        elif plain and self.reuse_enabled:
+            tree = None
+            rcap = max(self._bucket_cap(max_visits), self.min_reuse_cap)
+            start, cont = self._get_stream_fns_cap(rcap)
+        else:
+            tree, rcap = None, None
+            start, cont = self._get_stream_fns(max_visits)
         if avoid is None:
             avoid_arr = jnp.zeros((self.cfg.policy_size,), bool)
         else:
@@ -314,8 +455,17 @@ class Engine:
             until_arr = jnp.zeros((2, self.cfg.policy_size), jnp.int32)
         else:
             until_arr = jnp.asarray(np.asarray(avoid_until, np.int32))
-        tree = start(self.state, self._next_key(), avoid_arr, until_arr)
-        done = 1  # the root eval counts as one visit
+        used_cap = rcap if rcap is not None else self._bucket_cap(max_visits)
+        if tree is None:
+            tree = start(self.state, self._next_key(), avoid_arr, until_arr)
+            done = 1  # the root eval counts as one visit
+        else:
+            done = int(np.asarray(tree.visits[0, 0]))
+            if done > max_visits:
+                # ponder already met the budget: report the tree as-is
+                self.last_tree = tree
+                yield tree, done - 1
+                return
         while done <= max_visits:
             target = min(done + max(int(interval_visits), 1), max_visits + 1)
             t0 = time.monotonic()
@@ -331,6 +481,8 @@ class Engine:
                 self.visits_per_second = added / dt
             done = target
             self.last_tree = tree
+            if self.reuse_enabled and plain:
+                self._reuse = (tree, used_cap)
             yield tree, done - 1
             if stop_check is not None and done <= max_visits:
                 if stop_check(tree, done - 1, max_visits + 1 - done):
