@@ -605,16 +605,20 @@ def _gather_child_stats(tree: Tree, bidx, node):
     return jnp.einsum("ban,bns->bas", onehot, tree.stats)
 
 
-def _edge_stats_from_raw(tree: Tree, bidx, node, cs_raw):
+def _edge_stats_from_raw(tree: Tree, bidx, node, cs_raw, child_row=None, evis_row=None):
     """Per-action child stats with edge-scaled weights (NodeStats::childWeight,
     searchnode.h:59-64): w = childWeightSum * edgeVisits / max(childVisits,1).
-    `cs_raw` [B, A, 8] is the children's raw stat rows (from
+    `cs_raw` [B, A', 8] is the children's raw stat rows (from
     _gather_child_stats, or the descent's per-level save buffer). Returns
-    dict of [B, A] arrays; missing edges have weight 0."""
-    child = tree.children[bidx, node]  # [B, A]
+    dict of [B, A'] arrays; missing edges have weight 0. `child_row` /
+    `evis_row` optionally supply the node's child/edge-visit action lanes
+    (e.g. compact [B,C] views) instead of full-width row reads."""
+    child = tree.children[bidx, node] if child_row is None else child_row
     has = child >= 0
     cidx = jnp.maximum(child, 0)
-    evis = tree.edge_visits[bidx, node].astype(jnp.float32)
+    evis = (
+        tree.edge_visits[bidx, node] if evis_row is None else evis_row
+    ).astype(jnp.float32)
     cvis = cs_raw[..., S_VISITS]
     scale = evis / jnp.maximum(cvis, 1.0)
     live = has & (evis > 0)
@@ -639,6 +643,134 @@ def _edge_stats_from_raw(tree: Tree, bidx, node, cs_raw):
 
 def _child_edge_stats(tree: Tree, bidx, node):
     return _edge_stats_from_raw(tree, bidx, node, _gather_child_stats(tree, bidx, node))
+
+
+# ---------------------------------------------------------------------------
+# Compact action lanes (interior nodes)
+#
+# Coffee's direction constraint (board.cpp:185-227) means every INTERIOR
+# node's legal moves lie on the single line through its last move's spot
+# along its direction: at most max(x,y) spots x 4 directions candidates —
+# 20 lanes on 5x5 vs the full A=100 policy width (40 vs 400 on 10x10). The
+# descent/backup hot loops therefore run on a compact [B, C] lane view per
+# node (C = 4*max(x,y)), shrinking every per-level gather, select and
+# recompute ~A/C x. Only the tree ROOT can have an unconstrained move (game
+# start / D_NONE), so the root level is peeled out of the loop and handled
+# full-width; storage stays full-width [B, N, A] (row reads/writes are
+# bandwidth-cheap; it is the A-wide per-lane COMPUTE and the [B,A,N]
+# one-hot gather materialization that dominate).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _cand_table_np(x_size: int, y_size: int, win_len: int):
+    """[area+1, 5, C] int32: flat candidate actions for a node whose last
+    move was (spot, dir); -1 padded. Rows spot=area / dir=4 (no last move —
+    only the peeled root) are all -1. Built from the same lastline table as
+    legal_mask so the geometry (incl. the reference's NW/NE same-cell quirk,
+    board.cpp:194-209) matches exactly."""
+    from katacoffee_tpu.game.board import _line_tables_np
+
+    _, lastline, _, _ = _line_tables_np(x_size, y_size, win_len)
+    area = x_size * y_size
+    C = 4 * max(x_size, y_size)
+    tab = np.full((area + 1, 5, C), -1, np.int32)
+    for s in range(area):
+        for d in range(4):
+            spots = np.nonzero(lastline[s, d])[0]
+            # ascending FLAT order (dir-major), so lane argmax breaks PUCT
+            # ties exactly like the full-width argmax over flat actions
+            acts = [dp * area + int(sp) for dp in range(4) for sp in spots]
+            assert len(acts) <= C, (s, d, len(acts), C)
+            tab[s, d, : len(acts)] = acts
+    return tab
+
+
+def _cand_lanes(cfg: GameConfig, states: GameState, bidx, node):
+    """(cand [B,C] flat actions with -1 pad, valid [B,C]) for the nodes'
+    last-move lines."""
+    tab = jnp.asarray(_cand_table_np(cfg.x_size, cfg.y_size, cfg.win_len))
+    s = states.last_spot[bidx, node]
+    d = states.last_dir[bidx, node]
+    s_safe = jnp.where(s < 0, cfg.area, s)
+    d_safe = jnp.clip(d, 0, 4)
+    cand = tab[s_safe, d_safe]
+    return cand, cand >= 0
+
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _compact_row(oh: jax.Array, row: jax.Array) -> jax.Array:
+    """[B,C] = one-hot-selected entries of a full [B,A] row. One-hot matmul,
+    not a [B,C]-indexed gather (those serialize on TPU — CLAUDE.md);
+    HIGHEST precision so f32 payloads (priors, int-valued floats) survive
+    exactly (default TPU matmul rounds operands to bf16)."""
+    return jnp.einsum("bca,ba->bc", oh, row.astype(jnp.float32), precision=_HIGHEST)
+
+
+def _select_action_compact(
+    sp: SearchParams, prior: jax.Array, cs: dict, node_stats: jax.Array,
+    self_u: jax.Array, forbid: jax.Array | None,
+) -> jax.Array:
+    """PUCT selection over compact lanes — exactly the is_root=False
+    semantics of _select_action (no root prior/noise, no forced playouts,
+    no rootHintLoc, non-root FPU constants). Returns the chosen LANE [B]."""
+    child_w = cs["w"]
+    child_q = cs["u"]
+    has_child = cs["live"]
+    total_child_w = child_w.sum(-1)
+
+    cpuct = sp.cpuctExploration + sp.cpuctExplorationLog * jnp.log(
+        (total_child_w + sp.cpuctExplorationBase) / sp.cpuctExplorationBase
+    )
+    if sp.cpuctUtilityStdevScale != 0.0:
+        w_sum = node_stats[:, S_W]
+        u = node_stats[:, S_U]
+        usq = jnp.maximum(node_stats[:, S_USQ], u * u)
+        var_prior = sp.cpuctUtilityStdevPrior**2
+        pw = sp.cpuctUtilityStdevPriorWeight
+        stdev = jnp.sqrt(
+            jnp.maximum(
+                0.0,
+                ((u * u + var_prior) * pw + usq * w_sum)
+                / (pw + jnp.maximum(w_sum - 1.0, _EPS))
+                - u * u,
+            )
+        )
+        stdev = jnp.where(w_sum <= 1.0, sp.cpuctUtilityStdevPrior, stdev)
+        stdev_factor = 1.0 + sp.cpuctUtilityStdevScale * (
+            stdev / sp.cpuctUtilityStdevPrior - 1.0
+        )
+    else:
+        stdev_factor = jnp.ones(node_stats.shape[:1], jnp.float32)
+    explore_scaling = cpuct * jnp.sqrt(total_child_w + 0.01) * stdev_factor
+
+    legal_prior = jnp.maximum(prior, 0.0)
+    mass_visited = jnp.where(has_child, legal_prior, 0.0).sum(-1)
+    parent_u = node_stats[:, S_U]
+    if sp.fpuParentWeightByVisitedPolicy:
+        avg_w = jnp.minimum(1.0, mass_visited ** sp.fpuParentWeightByVisitedPolicyPow)
+        parent_u = avg_w * parent_u + (1.0 - avg_w) * self_u
+    elif sp.fpuParentWeight > 0.0:
+        parent_u = sp.fpuParentWeight * self_u + (1.0 - sp.fpuParentWeight) * parent_u
+    fpu = parent_u - sp.fpuReductionMax * jnp.sqrt(mass_visited)
+    fpu = fpu + (-sp.winLossUtilityFactor - fpu) * sp.fpuLossProp
+
+    q = jnp.where(has_child, child_q, fpu[:, None])
+    selection = explore_scaling[:, None] * legal_prior / (1.0 + child_w) + q
+    selection = jnp.where(prior < 0, -jnp.inf, selection)
+    if forbid is not None:
+        keep = ((prior >= 0.0) & ~forbid).any(-1)
+        selection = jnp.where(forbid & keep[:, None], -jnp.inf, selection)
+    return jnp.argmax(selection, axis=-1)
+
+
+# scratch channel layout for the per-level save buffer: 8 child-stat
+# channels + the node's compact prior/policy-rank/child-index/edge-visit
+# lanes (immutable or patchable during one sim — backup re-reads nothing)
+SC_PRIOR, SC_RANK, SC_CHILD, SC_EV = 8, 9, 10, 11
+SC_WIDTH = 12
 
 
 # ---------------------------------------------------------------------------
@@ -1019,12 +1151,14 @@ def _select_action(
 
 
 def make_sim_scratch(cfg, tree: Tree, max_depth: int) -> jax.Array:
-    """Scratch buffer for the descent's per-level child-stats save
-    (allocate ONCE and thread through the sim loop — re-zeroing 22MB every
-    sim costs ~50µs; stale slots are only ever read masked)."""
+    """Scratch buffer for the descent's per-level save (compact lanes; slot
+    j holds interior level j+1): 8 child-stat channels + the node's compact
+    prior/rank/child/edge lanes (SC_* layout). Allocate ONCE and thread
+    through the sim loop — re-zeroing every sim costs ~50µs; stale slots are
+    only ever read masked."""
     B = tree.stats.shape[0]
-    A = tree.prior.shape[-1]
-    return jnp.zeros((B, max_depth + 1, A, NUM_STATS), jnp.float32)
+    C = 4 * max(cfg.x_size, cfg.y_size)
+    return jnp.zeros((B, max_depth + 1, C, SC_WIDTH), jnp.float32)
 
 
 def _simulate_once(
@@ -1052,102 +1186,167 @@ def _simulate_once(
     # ---------------- Descent ----------------
     # Walk down until a missing edge (expand), a terminal node (revisit), or
     # an edge-visit catch-up stop. Record the node path and per-level actions.
+    # The ROOT level is peeled (full A-wide — a game-start root has no
+    # direction constraint); interior levels run on compact candidate lanes
+    # (see the compact-lanes section above).
+    N_ = tree.stats.shape[1]
+    C_ = 4 * max(cfg.x_size, cfg.y_size)
     path0 = jnp.full((B, max_depth + 1), -1, jnp.int32).at[:, 0].set(0)
     acts0 = jnp.zeros((B, max_depth + 1), jnp.int32)
+    zero = jnp.zeros((B,), jnp.int32)
+    ones_b = jnp.ones((B,), bool)
 
-    def cond(carry):
-        active_ = carry[2]
-        return jnp.any(active_)
+    def want_catch_at(ev_lane, cidx, has_child, depth_lane, fold):
+        """edge-visit catch-up test (search.cpp:1169-1206)."""
+        if not sp.useGraphSearch:
+            return jnp.zeros((B,), bool)
+        cvis = tree.stats[bidx, cidx, S_VISITS]
+        wc = has_child & (ev_lane.astype(jnp.float32) < cvis - 0.5)
+        if sp.graphSearchCatchUpLeakProb > 0.0:
+            leak_key = jax.random.fold_in(k_leak, 0)
+            u = jax.random.uniform(jax.random.fold_in(leak_key, 1), (B, max_depth + 1))
+            leak = u[bidx, jnp.minimum(depth_lane, max_depth)] < sp.graphSearchCatchUpLeakProb
+            wc = wc & ~leak
+        return wc
 
-    # edge_visits rides the descent loop as a MUTABLE carry and traversed
-    # edges are incremented as we walk (the reference's addEdgeVisits on the
-    # unwind — order is irrelevant for counts, and a path never repeats an
-    # edge since the game DAG is acyclic). Capturing it as a loop invariant
-    # and scattering the path afterwards made XLA copy the [B,N,A] buffer
-    # in and out of the loop every sim (~250µs/sim, profiled).
-    def body(carry):
-        node, depth, active_, path, acts, catch, ev, it, save = carry
-        is_root = node == 0
-        term = tree.is_terminal[bidx, node]
-        tr_ev = tree._replace(edge_visits=ev)
-        cs_raw = _gather_child_stats(tr_ev, bidx, node)
-        # Save the gathered rows for the backup pass: all still-active games
-        # sit at level `it`, so one dynamic row write stores the whole level.
-        # Backup then patches the single changed column instead of
-        # re-gathering — sound because Coffee's DAG is graded by stone count
-        # (all of a node's children live exactly one ply deeper, so the only
-        # child whose stats a playout changes is the path child).
-        # The write is UNCONDITIONAL: stopped games overwrite slices above
-        # their stopping depth, which backup never reads (limit-masked) — a
-        # read-modify-write formulation forced XLA to copy the whole buffer
-        # every level (76µs/level, profiled).
-        save = jax.lax.dynamic_update_index_in_dim(save, cs_raw, it, 1)
-        cs = _edge_stats_from_raw(tr_ev, bidx, node, cs_raw)
-        if avoid_until is not None:
-            pidx = jnp.clip(tree.states.to_move[bidx, node].astype(jnp.int32) - 1, 0, 1)
-            forbid = avoid_until[bidx, pidx] > depth[:, None]
-        else:
-            forbid = None
-        act = _select_action(cfg, sp, tr_ev, node, is_root, cs=cs, forbid=forbid)
-        child = tree.children[bidx, node, act]
-        has_child = child >= 0
-        cidx = jnp.maximum(child, 0)
-
-        if sp.useGraphSearch:
-            evis = ev[bidx, node, act]
-            cvis = tree.stats[bidx, cidx, S_VISITS]
-            want_catch = has_child & (evis.astype(jnp.float32) < cvis - 0.5)
-            if sp.graphSearchCatchUpLeakProb > 0.0:
-                leak_key = jax.random.fold_in(k_leak, 0)
-                u = jax.random.uniform(jax.random.fold_in(leak_key, 1), (B, max_depth + 1))
-                leak = u[bidx, jnp.minimum(depth, max_depth)] < sp.graphSearchCatchUpLeakProb
-                want_catch = want_catch & ~leak
-        else:
-            want_catch = jnp.zeros((B,), bool)
-
-        stop = term | want_catch | ~has_child
-        move_on = active_ & ~stop
-        acts = acts.at[bidx, jnp.where(active_ & ~term, depth, max_depth)].set(
-            jnp.where(active_ & ~term, act, acts[:, max_depth])
-        )
-        # Edge-visit increment as a ROW read-modify-write, not an element
-        # scatter: TPU element scatters on [B,N,A] emit a B-minor {0,1,2}
-        # layout while every row gather in this loop wants A-minor {2,0,1},
-        # so the element form made XLA insert a 37MB layout-conversion copy
-        # of the whole buffer per sim (round-4 phase split: copies 12.6%).
-        # The row gather here CSEs with _edge_stats_from_raw's `evis` read.
-        inc_row = (
-            (act[:, None] == jnp.arange(ev.shape[-1])[None, :])
-            & (move_on & act_mask)[:, None]
-        ).astype(jnp.int32)
-        ev = ev.at[bidx, node].set(ev[bidx, node] + inc_row)
-        new_node = jnp.where(move_on, cidx, node)
-        new_depth = jnp.where(move_on, depth + 1, depth)
-        path = path.at[bidx, jnp.where(move_on, new_depth, 0)].set(
-            jnp.where(move_on, new_node, path[:, 0])
-        )
-        catch = catch | (active_ & want_catch & ~term)
-        new_active = move_on & (new_depth < max_depth)
-        return new_node, new_depth, new_active, path, acts, catch, ev, it + 1, save
-
-    node0 = jnp.zeros((B,), jnp.int32)
-    depth0 = jnp.zeros((B,), jnp.int32)
-    active0 = jnp.ones((B,), bool)
-    catch0 = jnp.zeros((B,), bool)
-    save0 = scratch if scratch is not None else make_sim_scratch(cfg, tree, max_depth)
+    # --- root level (full width; forced playouts / hint / noise live here) ---
     with jax.named_scope("ph_descent"):
-        leaf, leaf_depth, _, path, act_path, caught, ev_out, _, level_stats = (
+        root_term = tree.is_terminal[:, 0]
+        root_cs_raw = _gather_child_stats(tree, bidx, zero)  # [B, A, 8]
+        cs0 = _edge_stats_from_raw(tree, bidx, zero, root_cs_raw)
+        if avoid_until is not None:
+            pidx0 = jnp.clip(tree.states.to_move[:, 0].astype(jnp.int32) - 1, 0, 1)
+            forbid0 = avoid_until[bidx, pidx0] > 0
+        else:
+            forbid0 = None
+        act0 = _select_action(cfg, sp, tree, zero, ones_b, cs=cs0, forbid=forbid0)
+        child0 = tree.children[bidx, 0, act0]
+        has_child0 = child0 >= 0
+        want_catch0 = want_catch_at(
+            tree.edge_visits[bidx, 0, act0], jnp.maximum(child0, 0), has_child0, zero,
+            0,
+        )
+        stop0 = root_term | want_catch0 | ~has_child0
+        move_on0 = ~stop0
+        # root edge-visit increment: static row 0, row RMW (layout — see the
+        # interior loop's comment)
+        inc0 = (
+            (act0[:, None] == jnp.arange(A2)[None, :])
+            & (move_on0 & act_mask)[:, None]
+        ).astype(jnp.int32)
+        ev0 = tree.edge_visits.at[:, 0].add(inc0)
+        node1 = jnp.where(move_on0, jnp.maximum(child0, 0), zero)
+        depth1 = move_on0.astype(jnp.int32)
+        path1 = path0.at[:, 1].set(jnp.where(move_on0, node1, path0[:, 1]))
+        catch1 = want_catch0 & ~root_term
+        active1 = move_on0 & (1 < max_depth)
+
+        # --- interior levels (compact lanes) ---
+        def cond(carry):
+            return jnp.any(carry[2])
+
+        # edge_visits rides the loop as a MUTABLE carry; traversed edges are
+        # incremented as we walk (the reference's addEdgeVisits on the unwind
+        # — order is irrelevant for counts; a path never repeats an edge in
+        # the graded DAG). Updates are ROW read-modify-writes, never element
+        # scatters: TPU element scatters on [B,N,A] emit a B-minor {0,1,2}
+        # layout while the row gathers want A-minor {2,0,1}, so the element
+        # form made XLA insert a 37MB layout copy per sim (round-4 split).
+        def body(carry):
+            node, depth, active_, path, acts, catch, ev, it, save = carry
+            term = tree.is_terminal[bidx, node]
+            cand, valid = _cand_lanes(cfg, tree.states, bidx, node)  # [B, C]
+            oh = (
+                (cand[:, :, None] == jnp.arange(A2)[None, None, :])
+                & valid[:, :, None]
+            ).astype(jnp.float32)  # [B, C, A]
+            ev_row = ev[bidx, node]  # [B, A] int row (reused by the RMW below)
+            child_c_f = _compact_row(oh, tree.children[bidx, node])
+            child_c = jnp.where(valid, child_c_f.astype(jnp.int32), -1)
+            ev_c = _compact_row(oh, ev_row)  # exact ints as f32
+            prior_c = jnp.where(valid, _compact_row(oh, tree.prior[bidx, node]), -1.0)
+            if sp.useNoisePruning:
+                rank_c = jnp.where(
+                    valid, _compact_row(oh, tree.policy_rank[bidx, node]), 1e6
+                )
+            else:
+                rank_c = jnp.zeros_like(ev_c)
+            # children's raw stat rows over the compact lanes (the [B,C,N]
+            # one-hot materialization is the whole point: ~A/C x smaller
+            # than the full-width [B,A,N] gather)
+            has_c = child_c >= 0
+            cidx_c = jnp.maximum(child_c, 0)
+            with jax.named_scope("ph_gather"):
+                onehot_n = jax.nn.one_hot(cidx_c, N_, dtype=jnp.float32) * has_c[..., None]
+                cs_raw = jnp.einsum("bcn,bns->bcs", onehot_n, tree.stats)
+            # per-level save for backup: stats + the node's immutable lanes
+            lvl = jnp.concatenate(
+                [
+                    cs_raw,
+                    prior_c[..., None], rank_c[..., None],
+                    child_c_f[..., None], ev_c[..., None],
+                ],
+                axis=-1,
+            )
+            save = jax.lax.dynamic_update_index_in_dim(save, lvl, it, 1)
+
+            cs = _edge_stats_from_raw(
+                tree, bidx, node, cs_raw, child_row=child_c, evis_row=ev_c
+            )
+            if avoid_until is not None:
+                pidx = jnp.clip(
+                    tree.states.to_move[bidx, node].astype(jnp.int32) - 1, 0, 1
+                )
+                forbid_c = _compact_row(oh, avoid_until[bidx, pidx]) > depth[:, None]
+            else:
+                forbid_c = None
+            act_c = _select_action_compact(
+                sp, prior_c, cs,
+                tree.stats[bidx, node], tree.self_stats[bidx, node, F_U], forbid_c,
+            )
+            child = child_c[bidx, act_c]
+            has_child = child >= 0
+            cidx = jnp.maximum(child, 0)
+            flat_act = cand[bidx, act_c]  # -1 only for dead/masked games
+            want_catch = want_catch_at(ev_c[bidx, act_c], cidx, has_child, depth, it)
+
+            stop = term | want_catch | ~has_child
+            move_on = active_ & ~stop
+            acts = acts.at[bidx, jnp.where(active_ & ~term, depth, max_depth)].set(
+                jnp.where(active_ & ~term, act_c, acts[:, max_depth])
+            )
+            inc_row = (
+                (flat_act[:, None] == jnp.arange(A2)[None, :])
+                & (move_on & act_mask)[:, None]
+            ).astype(jnp.int32)
+            ev = ev.at[bidx, node].set(ev_row + inc_row)
+            new_node = jnp.where(move_on, cidx, node)
+            new_depth = jnp.where(move_on, depth + 1, depth)
+            path = path.at[bidx, jnp.where(move_on, new_depth, 0)].set(
+                jnp.where(move_on, new_node, path[:, 0])
+            )
+            catch = catch | (active_ & want_catch & ~term)
+            new_active = move_on & (new_depth < max_depth)
+            return new_node, new_depth, new_active, path, acts, catch, ev, it + 1, save
+
+        save0 = scratch if scratch is not None else make_sim_scratch(cfg, tree, max_depth)
+        leaf, leaf_depth, _, path, act_path_c, caught, ev_out, _, level_stats = (
             jax.lax.while_loop(
                 cond,
                 body,
                 (
-                    node0, depth0, active0, path0, acts0, catch0,
-                    tree.edge_visits, jnp.asarray(0, jnp.int32), save0,
+                    node1, depth1, active1, path1, acts0, catch1,
+                    ev0, jnp.asarray(0, jnp.int32), save0,
                 ),
             )
         )
     tree = tree._replace(edge_visits=ev_out)
-    action = act_path[bidx, leaf_depth]  # the stopping edge's action
+    # the stopping edge's FLAT action: root stop -> act0; interior stop ->
+    # the recorded compact lane mapped through the leaf's candidate table
+    leaf_cand, _ = _cand_lanes(cfg, tree.states, bidx, leaf)
+    flat_stop = leaf_cand[bidx, jnp.clip(act_path_c[bidx, leaf_depth], 0, C_ - 1)]
+    action = jnp.where(leaf_depth == 0, act0, flat_stop)
+    action = jnp.clip(action, 0, A2 - 1)  # terminal/dead lanes -> benign index
 
     caught = caught & act_mask
     # Depth-capped playouts (leaf_depth == max_depth — only possible with a
@@ -1320,11 +1519,17 @@ def _simulate_once(
     # itself (its child edges changed).
     with jax.named_scope("ph_backup"):
         limit = jnp.where(revisit | depth_capped, leaf_depth - 1, leaf_depth)
+        new_child_linked = jnp.where(do_alloc | do_link, new_child_idx, -1)
 
         # The loop carry holds ONLY the arrays backup mutates (stats + the bias
         # state). Carrying the whole Tree made XLA copy the untouched [B,N,A]
         # buffers (children, edge_visits, prior, …) in and out of the loop every
         # level — ~350µs/sim of pure buffer copies, profiled at B=256.
+        # Interior levels recompute on the descent's saved COMPACT lanes —
+        # no full-width re-gathers at all; the only fresh reads are the path
+        # child's stats row and the handful of patches below. The root level
+        # runs full-width after the loop (its forced/noise machinery and
+        # unconstrained width live there).
         def backup_level(i, mut):
             if use_bias:
                 tr = tree._replace(
@@ -1335,24 +1540,52 @@ def _simulate_once(
                 )
             else:
                 tr = tree._replace(stats=mut[0])
-            l = max_depth - i
+            l = max_depth - i  # interior level, >= 1
             n = path[:, l]
             on_path = (l <= limit) & (n >= 0) & (l <= leaf_depth) & act_mask
-            # Children's raw stat rows from the descent's save buffer, with the
-            # one column this playout changed (the path/new/linked child at the
-            # level's recorded action) re-read fresh — no einsum re-gather.
-            cs_raw = jax.lax.dynamic_index_in_dim(
-                level_stats, jnp.minimum(l, max_depth), 1, keepdims=False
-            )
+            lc = jnp.minimum(l, max_depth)
+            sv = jax.lax.dynamic_index_in_dim(level_stats, lc - 1, 1, keepdims=False)
+            cs_raw = sv[..., :NUM_STATS]
+            prior_c = sv[..., SC_PRIOR]
+            rank_c = sv[..., SC_RANK]
+            child_c = sv[..., SC_CHILD].astype(jnp.int32)
+            ev_c = sv[..., SC_EV]
             bidx_ = jnp.arange(n.shape[0])
-            pa = act_path[bidx_, jnp.minimum(l, max_depth)]
-            pchild = tr.children[bidx_, n, pa]
+            pa = act_path_c[bidx_, lc]  # compact lane this playout took
+            at_stop = l == leaf_depth
+            # patch 1: the stopping node's new/linked child (saved row predates
+            # the expansion's link write)
+            child_c = child_c.at[bidx_, pa].set(
+                jnp.where(
+                    at_stop & (new_child_linked >= 0),
+                    new_child_linked,
+                    child_c[bidx_, pa],
+                )
+            )
+            # patch 2: edge visits (saved lanes predate the in-loop traversal
+            # increment and the expansion's stopping-edge increment)
+            ev_c = ev_c.at[bidx_, pa].add(
+                jnp.where(
+                    at_stop,
+                    edge_inc.astype(jnp.float32),
+                    jnp.where(l < leaf_depth, 1.0, 0.0),
+                )
+            )
+            # patch 3: the path child's stats row, re-read fresh (the only
+            # child whose stats this playout changed — the DAG is graded)
+            pchild = child_c[bidx_, pa]
             pok = pchild >= 0
             prow = tr.stats[bidx_, jnp.maximum(pchild, 0)]
             cs_raw = cs_raw.at[bidx_, pa].set(
                 jnp.where(pok[:, None], prow, cs_raw[bidx_, pa])
             )
-            tr = _recompute_node(cfg, sp, tr, n, on_path, cs_raw=cs_raw)
+            tr = _recompute_node(
+                cfg, sp, tr, n, on_path, cs_raw=cs_raw,
+                lanes=dict(
+                    child_row=child_c, evis_row=ev_c,
+                    prior_row=prior_c, rank_row=rank_c,
+                ),
+            )
             if use_bias:
                 return (tr.stats, tr.bias_table, tr.last_bias_delta, tr.last_bias_weight)
             return (tr.stats,)
@@ -1364,7 +1597,7 @@ def _simulate_once(
             mut0 = (tree.stats, tree.bias_table, tree.last_bias_delta, tree.last_bias_weight)
         else:
             mut0 = (tree.stats,)
-        mut = jax.lax.fori_loop(max_depth - deepest, max_depth + 1, backup_level, mut0)
+        mut = jax.lax.fori_loop(max_depth - deepest, max_depth, backup_level, mut0)
         if use_bias:
             tree = tree._replace(
                 stats=mut[0],
@@ -1374,6 +1607,16 @@ def _simulate_once(
             )
         else:
             tree = tree._replace(stats=mut[0])
+
+        # --- root level (full width) ---
+        root_mask = (limit >= 0) & act_mask
+        rchild = tree.children[bidx, 0, act0]
+        rok = rchild >= 0
+        rrow = tree.stats[bidx, jnp.maximum(rchild, 0)]
+        root_cs = root_cs_raw.at[bidx, act0].set(
+            jnp.where(rok[:, None], rrow, root_cs_raw[bidx, act0])
+        )
+        tree = _recompute_node(cfg, sp, tree, zero, root_mask, cs_raw=root_cs)
     return tree, rng, level_stats
 
 
@@ -1758,21 +2001,30 @@ def _norm_cdf(z):
 @jax.named_scope("ph_recompute")
 def _recompute_node(
     cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: jax.Array, cs_raw=None,
-    visit_inc: jax.Array | float = 1.0,
+    visit_inc: jax.Array | float = 1.0, lanes: dict | None = None,
 ):
     """recomputeNodeStats for [B] nodes (searchupdatehelpers.cpp:152-337):
     aggregate child edges with noise pruning + value-based downweighting,
     update the subtree-value-bias entry, and add the node's (biased) direct
-    eval. One packed row write per node. `cs_raw` [B, A, 8] optionally
+    eval. One packed row write per node. `cs_raw` [B, A', 8] optionally
     supplies the children's raw stat rows (skips the einsum gather);
-    `visit_inc` [B] is how many playouts traversed the node this round."""
+    `visit_inc` [B] is how many playouts traversed the node this round.
+    `lanes` optionally supplies compact [B,C] action-lane views
+    (child_row/evis_row/prior_row/rank_row, from the descent's save buffer)
+    — the aggregation is lane-width agnostic, so running it on the ~4x
+    smaller interior-node lane set is exact (every legal action of an
+    interior node is on its last-move line)."""
     B = node.shape[0]
     bidx = jnp.arange(B)
     is_root = node == 0
 
     if cs_raw is None:
         cs_raw = _gather_child_stats(tree, bidx, node)
-    cs = _edge_stats_from_raw(tree, bidx, node, cs_raw)
+    cs = _edge_stats_from_raw(
+        tree, bidx, node, cs_raw,
+        child_row=None if lanes is None else lanes["child_row"],
+        evis_row=None if lanes is None else lanes["evis_row"],
+    )
     cw, cu, cwl, cdraw, cusq, cwsq = (
         cs["w"], cs["u"], cs["wl"], cs["draw"], cs["usq"], cs["wsq"],
     )
@@ -1780,8 +2032,12 @@ def _recompute_node(
 
     # --- noise pruning (pruneNoiseWeight, vectorized approximation) ---
     if sp.useNoisePruning:
-        raw_prior = jnp.maximum(tree.prior[bidx, node], 1e-30)
-        rank = tree.policy_rank[bidx, node]  # [B, A] rank positions
+        raw_prior = jnp.maximum(
+            tree.prior[bidx, node] if lanes is None else lanes["prior_row"], 1e-30
+        )
+        # [B, A'] rank positions; only the relative order matters, so ranks
+        # restricted to the compact lane subset are exact
+        rank = tree.policy_rank[bidx, node] if lanes is None else lanes["rank_row"]
         # Exclusive prefix sums in policy-descending order WITHOUT physically
         # permuting: predecessor mask lt[b, a', a] = (rank[a'] < rank[a]),
         # then one [B,A,3] @ [B,A',A] contraction on the MXU gives all three
