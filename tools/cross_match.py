@@ -138,6 +138,11 @@ def main():
     ap.add_argument("--seed", type=int, default=20260820)
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default=None, help="force jax platform (cpu)")
+    ap.add_argument(
+        "--model", default=None,
+        help="samenet: .bin.gz both engines load (default: the random-weights "
+        "b6c96; pass the distilled net for the trained-net strength match)",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -168,9 +173,9 @@ def main():
     else:
         from katacoffee_tpu.nn.refmodel import load_ref_model, make_ref_eval_fn
 
-        model = load_ref_model(MODEL)
+        model_path = args.model or MODEL
+        model = load_ref_model(model_path)
         eval_fn = make_ref_eval_fn(gcfg, model)
-        model_path = MODEL
 
     logdir = f"/tmp/cross_match_logs_{args.mode}"
     os.makedirs(logdir, exist_ok=True)
