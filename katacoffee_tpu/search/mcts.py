@@ -1261,14 +1261,24 @@ def _simulate_once(
                 & valid[:, :, None]
             ).astype(jnp.float32)  # [B, C, A]
             ev_row = ev[bidx, node]  # [B, A] int row (reused by the RMW below)
-            child_c_f = _compact_row(oh, tree.children[bidx, node])
-            child_c = jnp.where(valid, child_c_f.astype(jnp.int32), -1)
-            ev_c = _compact_row(oh, ev_row)  # exact ints as f32
-            prior_c = jnp.where(valid, _compact_row(oh, tree.prior[bidx, node]), -1.0)
+            # ONE stacked compaction matmul for all per-node rows: per-level
+            # cost here is op-count-bound (round-5 phase split), so four
+            # separate [B,C]x[B,A] contractions lose to one [B,A,S] stack
+            rows = [
+                tree.children[bidx, node].astype(jnp.float32),
+                ev_row.astype(jnp.float32),
+                tree.prior[bidx, node],
+            ]
             if sp.useNoisePruning:
-                rank_c = jnp.where(
-                    valid, _compact_row(oh, tree.policy_rank[bidx, node]), 1e6
-                )
+                rows.append(tree.policy_rank[bidx, node].astype(jnp.float32))
+            stacked = jnp.stack(rows, axis=-1)  # [B, A, S]
+            comp = jnp.einsum("bca,bas->bcs", oh, stacked, precision=_HIGHEST)
+            child_c_f = comp[..., 0]
+            child_c = jnp.where(valid, child_c_f.astype(jnp.int32), -1)
+            ev_c = comp[..., 1]  # exact ints as f32
+            prior_c = jnp.where(valid, comp[..., 2], -1.0)
+            if sp.useNoisePruning:
+                rank_c = jnp.where(valid, comp[..., 3], 1e6)
             else:
                 rank_c = jnp.zeros_like(ev_c)
             # children's raw stat rows over the compact lanes (the [B,C,N]
@@ -2451,7 +2461,11 @@ def advance_root(
     reach = (nidx[None, :] == new_root_safe[:, None]).astype(jnp.float32)
     ptr = tree.parent
     parent_f = tree.parent.astype(jnp.float32)
-    steps = max(1, (N - 1).bit_length())
+    # Doubling depth: parent CHAINS are bounded by game depth (the DAG is
+    # graded by stone count, <= area+1 plies), not by node capacity N —
+    # 2^steps must only cover the longest chain. 5 steps at 5x5 vs the 8
+    # an N-derived bound costs (each step is ~4 [B,N,N] one-hot matmuls).
+    steps = max(1, int(cfg.area + 1).bit_length())
     for _ in range(steps):
         ptr_safe = jnp.maximum(ptr, 0)
         hot = jax.nn.one_hot(ptr_safe, N, dtype=jnp.float32)  # [B, N, N]
