@@ -1106,11 +1106,14 @@ def _select_action(
 
     # Root forced playouts (searchexplorehelpers.cpp:150): a child with >0
     # visits is forced until it has sqrt(coeff * P * totalChildWeight) visits.
+    # `force_w` excludes virtual-loss weight (K-round root sequencing) so an
+    # unexpanded claimed edge can never be force-selected by its own claim.
     if sp.rootDesiredPerChildVisitsCoeff > 0.0:
+        fw = cs.get("force_w", child_w)
         forced = jnp.sqrt(
             sp.rootDesiredPerChildVisitsCoeff * legal_prior * total_child_w[:, None]
         )
-        force = has_child & (child_w < forced) & (child_w > 0.0)
+        force = has_child & (fw < forced) & (fw > 0.0)
         force = force & is_root[:, None]
         selection = jnp.where(force, jnp.inf, selection)
 
@@ -1631,10 +1634,11 @@ def _simulate_once(
 
 
 def make_round_scratch(cfg, tree: Tree, max_depth: int, K: int) -> jax.Array:
-    """Per-level child-stats save for the K-playout round."""
+    """Per-level save for the vectorized K-playout round: one row per
+    (game, playout), same SC_* channel layout as make_sim_scratch."""
     B = tree.stats.shape[0]
-    A = tree.prior.shape[-1]
-    return jnp.zeros((B, max_depth + 1, K, A, NUM_STATS), jnp.float32)
+    C = 4 * max(cfg.x_size, cfg.y_size)
+    return jnp.zeros((B * K, max_depth + 1, C, SC_WIDTH), jnp.float32)
 
 
 def _simulate_round(
@@ -1646,117 +1650,246 @@ def _simulate_round(
     """K playouts per game in one round — the lockstep analogue of the
     reference's numSearchThreads parallel playouts (searchparams.h:111,
     search.cpp:361-509: N threads on one tree, diversified by virtual
-    losses). The K playouts descend LEVEL-SYNCHRONOUSLY: at each level every
-    playout selects from the live tree plus the in-flight edge visits of the
-    playouts ordered before it (counting an in-flight traversal as an edge
-    visit is the virtual-loss analogue — it shrinks the PUCT urgency
-    P/(1+w) of already-claimed edges). All K leaves share ONE batched NN
-    forward; expansions apply sequentially (so later playouts link to nodes
-    allocated earlier in the same round, including same-edge collisions);
-    backup recomputes each distinct path node once per level with the
-    combined visit count.
+    losses), VECTORIZED: the K playouts fold into the batch dimension so a
+    level costs ONE op set regardless of K (per-level cost on TPU is
+    op-count-bound — round-5 phase split), and K playouts land per round,
+    dividing the rounds per move by ~K.
+
+    Diversification semantics (documented TPU-native variant of the
+    reference's virtual losses): ROOT selection is sequenced — playout k
+    sees the in-flight root edge visits of playouts before it, the
+    virtual-visit analogue that spreads the K playouts over different root
+    children. Below the root the playouts descend independently with no
+    intra-level visibility; because Coffee's DAG is graded by stone count,
+    two playouts can only meet at the same node AT THE SAME LEVEL, where
+    they then duplicate (the reference's virtual loss would instead split
+    them). Expansions apply sequentially (later playouts link to nodes
+    allocated earlier in the round, including same-edge collisions); the
+    union backup recomputes each distinct path node once per level with the
+    combined visit count, every changed lane patched from fresh reads.
 
     `active` [B, K] masks playout slots (visit-target searches hand out only
     the remaining deficit). Returns (tree, rng, scratch)."""
-    B = tree.stats.shape[0]
+    B, N_ = tree.stats.shape[:2]
+    A2 = tree.prior.shape[-1]
+    C_ = 4 * max(cfg.x_size, cfg.y_size)
+    BK = B * K
     bidx = jnp.arange(B)
+    ridx = jnp.arange(BK)
+    bidx2 = jnp.repeat(bidx, K)  # game index of row b*K+k
     k_leak, k_eval, rng = jax.random.split(rng, 3)
     act_mask = jnp.ones((B, K), bool) if active is None else active
-
+    am_flat = act_mask.reshape(BK)
     D = max_depth
-    path0 = jnp.full((B, K, D + 1), -1, jnp.int32).at[:, :, 0].set(0)
-    acts0 = jnp.zeros((B, K, D + 1), jnp.int32)
+    zero = jnp.zeros((B,), jnp.int32)
+    ones_b = jnp.ones((B,), bool)
 
-    def cond(carry):
-        return jnp.any(carry[2])
+    use_leak = sp.useGraphSearch and sp.graphSearchCatchUpLeakProb > 0.0
+    if use_leak:
+        u_leak = jax.random.uniform(jax.random.fold_in(k_leak, 1), (BK, D + 1))
 
-    def body(carry):
-        node, depth, active_, path, acts, catch, ev, it, save = carry
-        level_rows = []
+    with jax.named_scope("ph_descent"):
+        # ---- root level: K selections sequenced over in-flight visits ----
+        root_term = tree.is_terminal[:, 0]
+        root_cs_raw = _gather_child_stats(tree, bidx, zero)  # [B, A, 8]
+        ev_root = tree.edge_visits[:, 0]  # running row incl. virtual visits
+        if avoid_until is not None:
+            pidx0 = jnp.clip(tree.states.to_move[:, 0].astype(jnp.int32) - 1, 0, 1)
+            forbid0 = avoid_until[bidx, pidx0] > 0
+        else:
+            forbid0 = None
+        act0_l, node1_l, moveon_l, catch_l = [], [], [], []
+        claimed = jnp.zeros((B, A2), jnp.float32)  # this round's prior claims
         for k in range(K):
-            tr_ev = tree._replace(edge_visits=ev)
-            nk = node[:, k]
-            ak = active_[:, k]
-            is_root = nk == 0
-            term = tree.is_terminal[bidx, nk]
-            cs_raw = _gather_child_stats(tr_ev, bidx, nk)
-            level_rows.append(cs_raw)
-            cs = _edge_stats_from_raw(tr_ev, bidx, nk, cs_raw)
+            cs0 = _edge_stats_from_raw(
+                tree, bidx, zero, root_cs_raw, evis_row=ev_root
+            )
+            if k > 0:
+                # Virtual LOSSES for edges claimed by playouts earlier in
+                # this round (searchparams.h numVirtualLossesPerThread;
+                # searchnode virtual-loss weight): each claim adds weight 1
+                # at the mover-loss utility, discouraging later playouts
+                # from piling onto the same edge — including UNEXPANDED
+                # edges, where plain in-flight edge visits carry no weight.
+                w0 = cs0["w"]
+                q0 = cs0["u"]
+                wv = w0 + claimed
+                qv = jnp.where(
+                    claimed > 0,
+                    (w0 * q0 - claimed * sp.winLossUtilityFactor)
+                    / jnp.maximum(wv, _EPS),
+                    q0,
+                )
+                cs0 = dict(
+                    cs0, w=wv, u=qv, live=cs0["live"] | (claimed > 0),
+                    force_w=w0,
+                )
+            a0 = _select_action(cfg, sp, tree, zero, ones_b, cs=cs0, forbid=forbid0)
+            child0 = tree.children[bidx, 0, a0]
+            has0 = child0 >= 0
+            if sp.useGraphSearch:
+                cvis0 = tree.stats[bidx, jnp.maximum(child0, 0), S_VISITS]
+                wc0 = has0 & (ev_root[bidx, a0].astype(jnp.float32) < cvis0 - 0.5)
+                if use_leak:
+                    wc0 = wc0 & ~(
+                        u_leak[bidx * K + k, 0] < sp.graphSearchCatchUpLeakProb
+                    )
+            else:
+                wc0 = jnp.zeros((B,), bool)
+            stop0 = root_term | wc0 | ~has0
+            mo0 = ~stop0
+            onehot_a0 = a0[:, None] == jnp.arange(A2)[None, :]
+            ev_root = ev_root + (
+                onehot_a0 & (mo0 & act_mask[:, k])[:, None]
+            ).astype(jnp.int32)
+            claimed = claimed + (onehot_a0 & act_mask[:, k][:, None]).astype(
+                jnp.float32
+            )
+            act0_l.append(a0)
+            node1_l.append(jnp.where(mo0, jnp.maximum(child0, 0), 0))
+            moveon_l.append(mo0)
+            catch_l.append(wc0 & ~root_term)
+        act0 = jnp.stack(act0_l, axis=1)  # [B, K]
+        node1 = jnp.stack(node1_l, axis=1)
+        move_on0 = jnp.stack(moveon_l, axis=1)
+        catch0 = jnp.stack(catch_l, axis=1)
+        tree = tree._replace(
+            edge_visits=tree.edge_visits.at[:, 0].set(ev_root)
+        )
+
+        # ---- interior levels: one vectorized op set over B*K rows ----
+        node_f0 = node1.reshape(BK)
+        mo_f0 = move_on0.reshape(BK)
+        depth_f0 = mo_f0.astype(jnp.int32)
+        active_f0 = mo_f0 & (1 < D)
+        path0 = jnp.full((BK, D + 1), -1, jnp.int32).at[:, 0].set(0)
+        path0 = path0.at[:, 1].set(jnp.where(mo_f0, node_f0, path0[:, 1]))
+        acts_c0 = jnp.zeros((BK, D + 1), jnp.int32)
+        acts_f0 = jnp.zeros((BK, D + 1), jnp.int32).at[:, 0].set(act0.reshape(BK))
+
+        def cond(carry):
+            return jnp.any(carry[2])
+
+        def body(carry):
+            node, depth, active_, path, acts_c, acts_f, catch, ev, it, save = carry
+            term = tree.is_terminal[bidx2, node]
+            cand, valid = _cand_lanes(cfg, tree.states, bidx2, node)  # [BK, C]
+            oh = (
+                (cand[:, :, None] == jnp.arange(A2)[None, None, :])
+                & valid[:, :, None]
+            ).astype(jnp.float32)
+            ev_row = ev[bidx2, node]
+            rows = [
+                tree.children[bidx2, node].astype(jnp.float32),
+                ev_row.astype(jnp.float32),
+                tree.prior[bidx2, node],
+            ]
+            if sp.useNoisePruning:
+                rows.append(tree.policy_rank[bidx2, node].astype(jnp.float32))
+            comp = jnp.einsum(
+                "bca,bas->bcs", oh, jnp.stack(rows, axis=-1), precision=_HIGHEST
+            )
+            child_c_f = comp[..., 0]
+            child_c = jnp.where(valid, child_c_f.astype(jnp.int32), -1)
+            ev_c = comp[..., 1]
+            prior_c = jnp.where(valid, comp[..., 2], -1.0)
+            if sp.useNoisePruning:
+                rank_c = jnp.where(valid, comp[..., 3], 1e6)
+            else:
+                rank_c = jnp.zeros_like(ev_c)
+            has_c = child_c >= 0
+            cidx_c = jnp.maximum(child_c, 0)
+            with jax.named_scope("ph_gather"):
+                onehot_n = (
+                    jax.nn.one_hot(cidx_c, N_, dtype=jnp.float32)
+                    * has_c[..., None]
+                ).reshape(B, K, C_, N_)
+                cs_raw = jnp.einsum("bkcn,bns->bkcs", onehot_n, tree.stats).reshape(
+                    BK, C_, NUM_STATS
+                )
+            lvl = jnp.concatenate(
+                [
+                    cs_raw,
+                    prior_c[..., None], rank_c[..., None],
+                    child_c_f[..., None], ev_c[..., None],
+                ],
+                axis=-1,
+            )
+            save = jax.lax.dynamic_update_index_in_dim(save, lvl, it, 1)
+
+            cs = _edge_stats_from_raw(
+                tree, bidx2, node, cs_raw, child_row=child_c, evis_row=ev_c
+            )
             if avoid_until is not None:
                 pidx = jnp.clip(
-                    tree.states.to_move[bidx, nk].astype(jnp.int32) - 1, 0, 1
+                    tree.states.to_move[bidx2, node].astype(jnp.int32) - 1, 0, 1
                 )
-                forbid = avoid_until[bidx, pidx] > depth[:, k][:, None]
+                forbid_c = _compact_row(oh, avoid_until[bidx2, pidx]) > depth[:, None]
             else:
-                forbid = None
-            act = _select_action(cfg, sp, tr_ev, nk, is_root, cs=cs, forbid=forbid)
-            child = tree.children[bidx, nk, act]
+                forbid_c = None
+            act_c = _select_action_compact(
+                sp, prior_c, cs,
+                tree.stats[bidx2, node], tree.self_stats[bidx2, node, F_U], forbid_c,
+            )
+            child = child_c[ridx, act_c]
             has_child = child >= 0
             cidx = jnp.maximum(child, 0)
-
+            flat_act = cand[ridx, act_c]
             if sp.useGraphSearch:
-                evis = ev[bidx, nk, act]
-                cvis = tree.stats[bidx, cidx, S_VISITS]
-                want_catch = has_child & (evis.astype(jnp.float32) < cvis - 0.5)
-                if sp.graphSearchCatchUpLeakProb > 0.0:
-                    u = jax.random.uniform(
-                        jax.random.fold_in(k_leak, k), (B, D + 1)
-                    )
-                    leak = (
-                        u[bidx, jnp.minimum(depth[:, k], D)]
+                cvis = tree.stats[bidx2, cidx, S_VISITS]
+                want_catch = has_child & (ev_c[ridx, act_c] < cvis - 0.5)
+                if use_leak:
+                    want_catch = want_catch & ~(
+                        u_leak[ridx, jnp.minimum(depth, D)]
                         < sp.graphSearchCatchUpLeakProb
                     )
-                    want_catch = want_catch & ~leak
             else:
-                want_catch = jnp.zeros((B,), bool)
+                want_catch = jnp.zeros((BK,), bool)
 
             stop = term | want_catch | ~has_child
-            move_on = ak & ~stop
-            acts = acts.at[bidx, k, jnp.where(ak & ~term, depth[:, k], D)].set(
-                jnp.where(ak & ~term, act, acts[:, k, D])
+            move_on = active_ & ~stop
+            rec = active_ & ~term
+            slot = jnp.where(rec, depth, D)
+            acts_c = acts_c.at[ridx, slot].set(jnp.where(rec, act_c, acts_c[:, D]))
+            acts_f = acts_f.at[ridx, slot].set(jnp.where(rec, flat_act, acts_f[:, D]))
+            inc_row = (
+                (flat_act[:, None] == jnp.arange(A2)[None, :])
+                & (move_on & am_flat)[:, None]
+            ).astype(jnp.int32)
+            # scatter-ADD (not a row RMW): two playouts of the same game can
+            # update the same node row this level; duplicate adds must sum
+            ev = ev.at[bidx2, node].add(inc_row)
+            new_node = jnp.where(move_on, cidx, node)
+            new_depth = jnp.where(move_on, depth + 1, depth)
+            path = path.at[ridx, jnp.where(move_on, new_depth, 0)].set(
+                jnp.where(move_on, new_node, path[:, 0])
             )
-            # row RMW, not element scatter — layout rationale in _simulate_once
-            ev = ev.at[bidx, nk].set(
-                ev[bidx, nk]
-                + (
-                    (act[:, None] == jnp.arange(ev.shape[-1])[None, :])
-                    & (move_on & act_mask[:, k])[:, None]
-                ).astype(jnp.int32)
+            catch = catch | (active_ & want_catch & ~term)
+            new_active = move_on & (new_depth < D)
+            return (
+                new_node, new_depth, new_active, path, acts_c, acts_f, catch,
+                ev, it + 1, save,
             )
-            nd = jnp.where(move_on, depth[:, k] + 1, depth[:, k])
-            node = node.at[:, k].set(jnp.where(move_on, cidx, nk))
-            depth = depth.at[:, k].set(nd)
-            path = path.at[bidx, k, jnp.where(move_on, nd, 0)].set(
-                jnp.where(move_on, cidx, path[:, k, 0])
-            )
-            catch = catch.at[:, k].set(catch[:, k] | (ak & want_catch & ~term))
-            active_ = active_.at[:, k].set(move_on & (nd < D))
-        # unconditional slice write — see _simulate_once (stale slices are
-        # never read; a read-modify-write copies the whole buffer per level)
-        lvl = jnp.stack(level_rows, axis=1)  # [B, K, A, 8]
-        save = jax.lax.dynamic_update_index_in_dim(save, lvl, it, 1)
-        return node, depth, active_, path, acts, catch, ev, it + 1, save
 
-    node0 = jnp.zeros((B, K), jnp.int32)
-    depth0 = jnp.zeros((B, K), jnp.int32)
-    active0 = jnp.ones((B, K), bool)
-    catch0 = jnp.zeros((B, K), bool)
-    save0 = scratch if scratch is not None else make_round_scratch(cfg, tree, D, K)
-    with jax.named_scope("ph_descent"):
-        leaf, leaf_depth, _, path, act_path, caught, ev_out, _, level_stats = (
-            jax.lax.while_loop(
-                cond,
-                body,
-                (
-                    node0, depth0, active0, path0, acts0, catch0,
-                    tree.edge_visits, jnp.asarray(0, jnp.int32), save0,
-                ),
-            )
+        save0 = scratch if scratch is not None else make_round_scratch(cfg, tree, D, K)
+        (
+            leaf_f, leaf_depth_f, _, path, acts_c, acts_f, caught_f, ev_out, _,
+            level_stats,
+        ) = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                node_f0, depth_f0, active_f0, path0, acts_c0, acts_f0,
+                catch0.reshape(BK), tree.edge_visits, jnp.asarray(0, jnp.int32),
+                save0,
+            ),
         )
     tree = tree._replace(edge_visits=ev_out)
-    action = jnp.take_along_axis(act_path, leaf_depth[:, :, None], axis=2)[:, :, 0]
+    leaf = leaf_f.reshape(B, K)
+    leaf_depth = leaf_depth_f.reshape(B, K)
+    action = jnp.clip(acts_f[ridx, leaf_depth_f], 0, A2 - 1).reshape(B, K)
 
-    caught = caught & act_mask
+    caught = caught_f.reshape(B, K) & act_mask
     leaf_terminal = tree.is_terminal[bidx[:, None], leaf] & act_mask
 
     # ---------------- One batched eval for all K leaves ----------------
@@ -1932,75 +2065,123 @@ def _simulate_round(
 
     revisit = jnp.stack(revisits, axis=1)  # [B, K]
 
-    # ---------------- Union backup ----------------
-    # Bottom-up over levels; each distinct path node is recomputed ONCE with
-    # the combined visit count of the playouts that traversed it; every
-    # column any playout changed is patched fresh from the save buffer.
-    limit = jnp.where(revisit, leaf_depth - 1, leaf_depth)  # [B, K]
+    # ---------------- Union backup (vectorized over B*K rows) ----------------
+    # Bottom-up over interior levels; each distinct path node is recomputed
+    # ONCE (first-playout-wins; losers' rows are masked AND redirected to an
+    # out-of-bounds node so their scatter writes drop) with the combined
+    # visit count. Every lane some playout changed at the node is patched
+    # with FRESH element reads (child link / edge visits / child stats) —
+    # cheap [B]-wide gathers, K^2 patch groups. The root level runs once,
+    # full-width, after the loop.
+    with jax.named_scope("ph_backup"):
+        limit = jnp.where(revisit, leaf_depth - 1, leaf_depth)  # [B, K]
+        limit_f = limit.reshape(BK)
+        leafd_f = leaf_depth.reshape(BK)
 
-    def backup_level(i, mut):
+        def backup_level(i, mut):
+            if use_bias:
+                tr = tree._replace(
+                    stats=mut[0],
+                    bias_table=mut[1],
+                    last_bias_delta=mut[2],
+                    last_bias_weight=mut[3],
+                )
+            else:
+                tr = tree._replace(stats=mut[0])
+            l = D - i  # interior level >= 1
+            lc = jnp.minimum(l, D)
+            nodes_f = path[:, lc]  # [BK]
+            on_path_f = (l <= limit_f) & (nodes_f >= 0) & (l <= leafd_f) & am_flat
+            sv = jax.lax.dynamic_index_in_dim(level_stats, lc - 1, 1, keepdims=False)
+            cs_raw = sv[..., :NUM_STATS].reshape(B, K, C_, NUM_STATS)
+            prior_c = sv[..., SC_PRIOR]
+            rank_c = sv[..., SC_RANK]
+            child_c = sv[..., SC_CHILD].astype(jnp.int32).reshape(B, K, C_)
+            ev_c = sv[..., SC_EV].reshape(B, K, C_)
+            nodes = nodes_f.reshape(B, K)
+            on_path = on_path_f.reshape(B, K)
+            pa_c = acts_c[:, lc].reshape(B, K)
+            pa_f = acts_f[:, lc].reshape(B, K)
+            for k in range(K):
+                n_k = nodes[:, k]
+                for j in range(K):
+                    same = on_path[:, j] & (nodes[:, j] == n_k)
+                    lane = pa_c[:, j]
+                    fa = jnp.clip(pa_f[:, j], 0, A2 - 1)
+                    fresh_child = tr.children[bidx, n_k, fa]
+                    fresh_ev = tr.edge_visits[bidx, n_k, fa].astype(jnp.float32)
+                    okc = same & (fresh_child >= 0)
+                    prow = tr.stats[bidx, jnp.maximum(fresh_child, 0)]
+                    child_c = child_c.at[bidx, k, lane].set(
+                        jnp.where(same, fresh_child, child_c[bidx, k, lane])
+                    )
+                    ev_c = ev_c.at[bidx, k, lane].set(
+                        jnp.where(same, fresh_ev, ev_c[bidx, k, lane])
+                    )
+                    cs_raw = cs_raw.at[bidx, k, lane].set(
+                        jnp.where(okc[:, None], prow, cs_raw[bidx, k, lane])
+                    )
+            # first-playout-wins dedup + combined visit counts
+            dup = jnp.zeros((B, K), bool)
+            cnt = on_path.astype(jnp.float32)
+            for k in range(K):
+                for j in range(K):
+                    if j == k:
+                        continue
+                    same = on_path[:, j] & (nodes[:, j] == nodes[:, k])
+                    if j < k:
+                        dup = dup.at[:, k].set(dup[:, k] | same)
+                    else:
+                        cnt = cnt.at[:, k].add(same.astype(jnp.float32))
+            rm = on_path & ~dup
+            node_w = jnp.where(rm, nodes, N_)  # OOB: losers' writes drop
+            tr = _recompute_node(
+                cfg, sp, tr, node_w.reshape(BK), rm.reshape(BK),
+                cs_raw=cs_raw.reshape(BK, C_, NUM_STATS),
+                visit_inc=cnt.reshape(BK),
+                lanes=dict(
+                    child_row=child_c.reshape(BK, C_),
+                    evis_row=ev_c.reshape(BK, C_),
+                    prior_row=prior_c, rank_row=rank_c,
+                ),
+                bidx=bidx2,
+            )
+            if use_bias:
+                return (tr.stats, tr.bias_table, tr.last_bias_delta, tr.last_bias_weight)
+            return (tr.stats,)
+
+        deepest = jnp.max(jnp.where(act_mask, limit, 0))
         if use_bias:
-            tr = tree._replace(
+            mut0 = (tree.stats, tree.bias_table, tree.last_bias_delta, tree.last_bias_weight)
+        else:
+            mut0 = (tree.stats,)
+        mut = jax.lax.fori_loop(D - deepest, D, backup_level, mut0)
+        if use_bias:
+            tree = tree._replace(
                 stats=mut[0],
                 bias_table=mut[1],
                 last_bias_delta=mut[2],
                 last_bias_weight=mut[3],
             )
         else:
-            tr = tree._replace(stats=mut[0])
-        l = D - i
-        lc = jnp.minimum(l, D)
-        lvl_save = jax.lax.dynamic_index_in_dim(level_stats, lc, 1, keepdims=False)
-        nodes_l = jax.lax.dynamic_index_in_dim(path, lc, 2, keepdims=False)  # [B, K]
-        pa_l = jax.lax.dynamic_index_in_dim(act_path, lc, 2, keepdims=False)  # [B, K]
-        on_path = (l <= limit) & (l <= leaf_depth) & act_mask & (nodes_l >= 0)
-        for k in range(K):
-            n_k = nodes_l[:, k]
-            op_k = on_path[:, k]
-            dup = jnp.zeros((B,), bool)
-            cnt = op_k.astype(jnp.float32)
-            for j in range(K):
-                if j == k:
-                    continue
-                same = on_path[:, j] & (nodes_l[:, j] == n_k)
-                if j < k:
-                    dup = dup | same
-                else:
-                    cnt = cnt + same.astype(jnp.float32)
-            first = op_k & ~dup
-            cs_raw = lvl_save[:, k]  # [B, A, 8]
-            # patch every column some playout changed at this node
-            for j in range(K):
-                same_j = on_path[:, j] & (nodes_l[:, j] == n_k)
-                pa_j = pa_l[:, j]
-                pchild = tr.children[bidx, n_k, pa_j]
-                pok = same_j & (pchild >= 0)
-                prow = tr.stats[bidx, jnp.maximum(pchild, 0)]
-                cs_raw = cs_raw.at[bidx, pa_j].set(
-                    jnp.where(pok[:, None], prow, cs_raw[bidx, pa_j])
-                )
-            tr = _recompute_node(
-                cfg, sp, tr, n_k, first, cs_raw=cs_raw, visit_inc=cnt
-            )
-        if use_bias:
-            return (tr.stats, tr.bias_table, tr.last_bias_delta, tr.last_bias_weight)
-        return (tr.stats,)
+            tree = tree._replace(stats=mut[0])
 
-    deepest = jnp.max(jnp.where(act_mask, limit, 0))
-    if use_bias:
-        mut0 = (tree.stats, tree.bias_table, tree.last_bias_delta, tree.last_bias_weight)
-    else:
-        mut0 = (tree.stats,)
-    mut = jax.lax.fori_loop(D - deepest, D + 1, backup_level, mut0)
-    if use_bias:
-        tree = tree._replace(
-            stats=mut[0],
-            bias_table=mut[1],
-            last_bias_delta=mut[2],
-            last_bias_weight=mut[3],
+        # ---- root level (full width, once, combined count) ----
+        root_on = (limit >= 0) & act_mask  # [B, K]
+        root_mask = root_on.any(-1)
+        rcount = root_on.sum(-1).astype(jnp.float32)
+        root_cs = root_cs_raw
+        for k in range(K):
+            a0 = act0[:, k]
+            rchild = tree.children[bidx, 0, a0]
+            rok = root_on[:, k] & (rchild >= 0)
+            rrow = tree.stats[bidx, jnp.maximum(rchild, 0)]
+            root_cs = root_cs.at[bidx, a0].set(
+                jnp.where(rok[:, None], rrow, root_cs[bidx, a0])
+            )
+        tree = _recompute_node(
+            cfg, sp, tree, zero, root_mask, cs_raw=root_cs, visit_inc=rcount
         )
-    else:
-        tree = tree._replace(stats=mut[0])
     return tree, rng, level_stats
 
 
@@ -2012,6 +2193,7 @@ def _norm_cdf(z):
 def _recompute_node(
     cfg, sp: SearchParams, tree: Tree, node: jax.Array, mask: jax.Array, cs_raw=None,
     visit_inc: jax.Array | float = 1.0, lanes: dict | None = None,
+    bidx: jax.Array | None = None,
 ):
     """recomputeNodeStats for [B] nodes (searchupdatehelpers.cpp:152-337):
     aggregate child edges with noise pruning + value-based downweighting,
@@ -2023,9 +2205,14 @@ def _recompute_node(
     (child_row/evis_row/prior_row/rank_row, from the descent's save buffer)
     — the aggregation is lane-width agnostic, so running it on the ~4x
     smaller interior-node lane set is exact (every legal action of an
-    interior node is on its last-move line)."""
+    interior node is on its last-move line).
+    `bidx` optionally maps each row to its game (default arange: one row
+    per game). With duplicate (bidx, node) pairs the caller must mask all
+    but one row AND redirect the masked rows' node to an out-of-bounds
+    index (scatter updates there are dropped) — a masked row still WRITES
+    its old row back, and scatter order between duplicates is undefined."""
     B = node.shape[0]
-    bidx = jnp.arange(B)
+    bidx = jnp.arange(B) if bidx is None else bidx
     is_root = node == 0
 
     if cs_raw is None:

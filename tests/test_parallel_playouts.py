@@ -105,3 +105,46 @@ class TestQuality:
             np.testing.assert_array_equal(top2, [[4, 79], [4, 79]])
             assert (out[k][:, [4, 79]].sum(-1) >= 0.95 * out[k].sum(-1)).all()
         np.testing.assert_allclose(vals[1], vals[4], atol=0.05)
+
+
+class TestVectorizedRound:
+    def test_root_sequencing_diversifies(self):
+        """One K=4 round from a fresh tree: the sequenced root selection
+        (virtual losses on claimed edges, incl. unexpanded ones) must
+        spread the 4 playouts over 4 DISTINCT root children — the
+        diversification the reference gets from virtual losses
+        (searchparams.h numVirtualLossesPerThread)."""
+        from katacoffee_tpu.search import mcts
+
+        sp = SearchParams(valueWeightExponent=0.0, numSearchThreads=4)
+        roots = batched(init_state(CFG))
+        md = CFG.area + 1
+        tree = jax.jit(
+            lambda r, key: mcts.init_tree(CFG, sp, uniform_eval_fn(CFG), r, 64, key)
+        )(roots, jax.random.PRNGKey(1))
+        scr = mcts.make_round_scratch(CFG, tree, md, 4)
+        tree, _, _ = jax.jit(
+            lambda t, key, s: mcts._simulate_round(
+                CFG, sp, uniform_eval_fn(CFG), t, key, md, 4, scratch=s
+            )
+        )(tree, jax.random.PRNGKey(2), scr)
+        ev = np.asarray(tree.edge_visits[:, 0])
+        assert (ev.sum(-1) == 4).all()
+        assert ((ev > 0).sum(-1) == 4).all(), "4 playouts -> 4 distinct root edges"
+        assert (np.asarray(tree.node_count) == 5).all()  # root + 4 children
+
+    def test_virtual_loss_is_selection_only(self):
+        """Virtual losses are a selection-time adjustment: committed tree
+        stats after a K=2 round carry no trace of them (weights/utilities
+        aggregate only real evals)."""
+        from katacoffee_tpu.search.mcts import S_W
+
+        sp = SearchParams(valueWeightExponent=0.0, numSearchThreads=2)
+        roots = batched(init_state(CFG))
+        tree = jax.jit(
+            lambda r, key: run_search(CFG, sp, uniform_eval_fn(CFG), r, 20, key)
+        )(roots, jax.random.PRNGKey(9))
+        w = np.asarray(tree.stats[:, 0, S_W])
+        v = np.asarray(tree.stats[:, 0, S_VISITS])
+        # uniform eval weight is 1/visit: weight sum tracks visits exactly
+        np.testing.assert_allclose(w, v, rtol=1e-5)
