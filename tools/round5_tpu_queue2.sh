@@ -37,6 +37,7 @@ run_stage() {
   sleep 20
 }
 
+run_stage kvec_ab 4800 python tools/kvec_ab.py --games 300
 run_stage cross_v150 9000 python tools/cross_match.py --mode samenet \
   --model /root/repo/.runs/refnet_distill/coffee-b6c96-distilled.bin.gz \
   --games 400 --visits 150 --out artifacts/cross_match/samenet_distilled_v150.json
