@@ -1169,11 +1169,18 @@ def _simulate_once(
     active: jax.Array | None = None,
     scratch: jax.Array | None = None,
     avoid_until: jax.Array | None = None,
+    root_cs: jax.Array | None = None,
 ):
     """One playout per game. `active` [B] masks out games whose playout is a
     no-op (used by visit-target searches over reused trees). `scratch` from
     make_sim_scratch is threaded through by callers to avoid per-sim
-    allocation; returns (tree, rng, scratch).
+    allocation; returns (tree, rng, scratch, root_cs).
+
+    `root_cs` [B, A, 8] is the ROOT's child-stats gather carried across the
+    sims of one move: in the graded DAG a depth-1 node's stats only change
+    when it is the sim's own root-path child, so each sim patches exactly
+    the column it visited and the full-width [B,A,N] root gather happens
+    once per move instead of once per sim. None = gather fresh (exact).
 
     `avoid_until` [B,2,A] int32 (index 1 = P_BLACK's avoid row, 2 = white's,
     0-based): action a is excluded for the node's mover p at descent depth d
@@ -1215,7 +1222,9 @@ def _simulate_once(
     # --- root level (full width; forced playouts / hint / noise live here) ---
     with jax.named_scope("ph_descent"):
         root_term = tree.is_terminal[:, 0]
-        root_cs_raw = _gather_child_stats(tree, bidx, zero)  # [B, A, 8]
+        root_cs_raw = (
+            root_cs if root_cs is not None else _gather_child_stats(tree, bidx, zero)
+        )  # [B, A, 8]
         cs0 = _edge_stats_from_raw(tree, bidx, zero, root_cs_raw)
         if avoid_until is not None:
             pidx0 = jnp.clip(tree.states.to_move[:, 0].astype(jnp.int32) - 1, 0, 1)
@@ -1630,7 +1639,7 @@ def _simulate_once(
             jnp.where(rok[:, None], rrow, root_cs_raw[bidx, act0])
         )
         tree = _recompute_node(cfg, sp, tree, zero, root_mask, cs_raw=root_cs)
-    return tree, rng, level_stats
+    return tree, rng, level_stats, root_cs
 
 
 def make_round_scratch(cfg, tree: Tree, max_depth: int, K: int) -> jax.Array:
@@ -1646,6 +1655,7 @@ def _simulate_round(
     active: jax.Array | None = None,
     scratch: jax.Array | None = None,
     avoid_until: jax.Array | None = None,
+    root_cs: jax.Array | None = None,
 ):
     """K playouts per game in one round — the lockstep analogue of the
     reference's numSearchThreads parallel playouts (searchparams.h:111,
@@ -1691,7 +1701,9 @@ def _simulate_round(
     with jax.named_scope("ph_descent"):
         # ---- root level: K selections sequenced over in-flight visits ----
         root_term = tree.is_terminal[:, 0]
-        root_cs_raw = _gather_child_stats(tree, bidx, zero)  # [B, A, 8]
+        root_cs_raw = (
+            root_cs if root_cs is not None else _gather_child_stats(tree, bidx, zero)
+        )  # [B, A, 8]  (carried across sims — see _simulate_once)
         ev_root = tree.edge_visits[:, 0]  # running row incl. virtual visits
         if avoid_until is not None:
             pidx0 = jnp.clip(tree.states.to_move[:, 0].astype(jnp.int32) - 1, 0, 1)
@@ -2182,7 +2194,7 @@ def _simulate_round(
         tree = _recompute_node(
             cfg, sp, tree, zero, root_mask, cs_raw=root_cs, visit_inc=rcount
         )
-    return tree, rng, level_stats
+    return tree, rng, level_stats, root_cs
 
 
 def _norm_cdf(z):
@@ -2423,22 +2435,29 @@ def run_search(
 
         if K > 1:
             scratch0 = make_round_scratch(cfg, tree, max_depth, K)
+            rcs0 = _gather_child_stats(
+                tree, jnp.arange(tree.stats.shape[0]),
+                jnp.zeros((tree.stats.shape[0],), jnp.int32),
+            )
             rounds = -(-num_sims // K)
 
             def body(r, carry):
-                tree, rng, scratch = carry
+                tree, rng, scratch, rcs = carry
                 k, rng = jax.random.split(rng)
                 B = tree.stats.shape[0]
                 # last round hands out only the remainder of the budget
                 slot = r * K + jnp.arange(K)[None, :]
                 active = jnp.broadcast_to(slot < num_sims, (B, K))
-                tree, _, scratch = _simulate_round(
+                tree, _, scratch, rcs = _simulate_round(
                     cfg, sp, eval_fn, tree, k, max_depth, K,
                     active=active, scratch=scratch, avoid_until=avoid_until,
+                    root_cs=rcs,
                 )
-                return tree, rng, scratch
+                return tree, rng, scratch, rcs
 
-            tree, _, _ = jax.lax.fori_loop(0, rounds, body, (tree, k_sims, scratch0))
+            tree, _, _, _ = jax.lax.fori_loop(
+                0, rounds, body, (tree, k_sims, scratch0, rcs0)
+            )
             if with_diag:
                 B = tree.stats.shape[0]
                 return tree, {
@@ -2448,17 +2467,23 @@ def run_search(
             return tree
 
         scratch0 = make_sim_scratch(cfg, tree, max_depth)
+        rcs0 = _gather_child_stats(
+            tree, jnp.arange(tree.stats.shape[0]),
+            jnp.zeros((tree.stats.shape[0],), jnp.int32),
+        )
 
         def body(_, carry):
-            tree, rng, scratch = carry
+            tree, rng, scratch, rcs = carry
             k, rng = jax.random.split(rng)
-            tree, _, scratch = _simulate_once(
+            tree, _, scratch, rcs = _simulate_once(
                 cfg, sp, eval_fn, tree, k, max_depth, scratch=scratch,
-                avoid_until=avoid_until,
+                avoid_until=avoid_until, root_cs=rcs,
             )
-            return tree, rng, scratch
+            return tree, rng, scratch, rcs
 
-        tree, _, _ = jax.lax.fori_loop(0, num_sims, body, (tree, k_sims, scratch0))
+        tree, _, _, _ = jax.lax.fori_loop(
+            0, num_sims, body, (tree, k_sims, scratch0, rcs0)
+        )
         if with_diag:
             B = tree.stats.shape[0]
             return tree, {
@@ -2476,48 +2501,57 @@ def run_search(
 
     if K > 1:
         scratch0 = make_round_scratch(cfg, tree, max_depth, K)
+        rcs0 = _gather_child_stats(
+            tree, jnp.arange(tree.stats.shape[0]),
+            jnp.zeros((tree.stats.shape[0],), jnp.int32),
+        )
 
         def cond(carry):
-            tree, rng, it, scratch = carry
+            tree, rng, it, scratch, rcs = carry
             return (it < num_sims) & jnp.any(tree.stats[:, 0, S_VISITS] < target)
 
         def body(carry):
-            tree, rng, it, scratch = carry
+            tree, rng, it, scratch, rcs = carry
             k, rng = jax.random.split(rng)
             # hand each game only its remaining visit deficit in slots
             deficit = target - tree.stats[:, 0, S_VISITS]
             active = jnp.arange(K)[None, :] < deficit[:, None]
-            tree, _, scratch = _simulate_round(
+            tree, _, scratch, rcs = _simulate_round(
                 cfg, sp, eval_fn, tree, k, max_depth, K,
                 active=active, scratch=scratch, avoid_until=avoid_until,
+                root_cs=rcs,
             )
-            return tree, rng, it + 1, scratch
+            return tree, rng, it + 1, scratch, rcs
 
-        tree, _, it, _ = jax.lax.while_loop(
-            cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32), scratch0)
+        tree, _, it, _, _ = jax.lax.while_loop(
+            cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32), scratch0, rcs0)
         )
         if with_diag:
             return tree, {"rounds": it, "start_visits": start_visits}
         return tree
 
     scratch0 = make_sim_scratch(cfg, tree, max_depth)
+    rcs0 = _gather_child_stats(
+        tree, jnp.arange(tree.stats.shape[0]),
+        jnp.zeros((tree.stats.shape[0],), jnp.int32),
+    )
 
     def cond(carry):
-        tree, rng, it, scratch = carry
+        tree, rng, it, scratch, rcs = carry
         return (it < num_sims) & jnp.any(tree.stats[:, 0, S_VISITS] < target)
 
     def body(carry):
-        tree, rng, it, scratch = carry
+        tree, rng, it, scratch, rcs = carry
         k, rng = jax.random.split(rng)
         active = tree.stats[:, 0, S_VISITS] < target
-        tree, _, scratch = _simulate_once(
+        tree, _, scratch, rcs = _simulate_once(
             cfg, sp, eval_fn, tree, k, max_depth, active=active, scratch=scratch,
-            avoid_until=avoid_until,
+            avoid_until=avoid_until, root_cs=rcs,
         )
-        return tree, rng, it + 1, scratch
+        return tree, rng, it + 1, scratch, rcs
 
-    tree, _, it, _ = jax.lax.while_loop(
-        cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32), scratch0)
+    tree, _, it, _, _ = jax.lax.while_loop(
+        cond, body, (tree, k_sims, jnp.asarray(0, jnp.int32), scratch0, rcs0)
     )
     if with_diag:
         return tree, {"rounds": it, "start_visits": start_visits}
@@ -2553,45 +2587,54 @@ def continue_search(
     K = max(1, int(sp.numSearchThreads))
     if K > 1:
         scratch0 = make_round_scratch(cfg, tree, max_depth, K)
+        rcs0 = _gather_child_stats(
+            tree, jnp.arange(tree.stats.shape[0]),
+            jnp.zeros((tree.stats.shape[0],), jnp.int32),
+        )
 
         def cond(carry):
-            tree, rng, it, scratch = carry
+            tree, rng, it, scratch, rcs = carry
             return (it < max_more_sims) & jnp.any(tree.stats[:, 0, S_VISITS] < target)
 
         def body(carry):
-            tree, rng, it, scratch = carry
+            tree, rng, it, scratch, rcs = carry
             k, rng = jax.random.split(rng)
             deficit = target - tree.stats[:, 0, S_VISITS]
             active = jnp.arange(K)[None, :] < deficit[:, None]
-            tree, _, scratch = _simulate_round(
+            tree, _, scratch, rcs = _simulate_round(
                 cfg, sp, eval_fn, tree, k, max_depth, K,
                 active=active, scratch=scratch, avoid_until=avoid_until,
+                root_cs=rcs,
             )
-            return tree, rng, it + 1, scratch
+            return tree, rng, it + 1, scratch, rcs
 
-        tree, _, _, _ = jax.lax.while_loop(
-            cond, body, (tree, rng, jnp.asarray(0, jnp.int32), scratch0)
+        tree, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (tree, rng, jnp.asarray(0, jnp.int32), scratch0, rcs0)
         )
         return tree
 
     scratch0 = make_sim_scratch(cfg, tree, max_depth)
+    rcs0 = _gather_child_stats(
+        tree, jnp.arange(tree.stats.shape[0]),
+        jnp.zeros((tree.stats.shape[0],), jnp.int32),
+    )
 
     def cond(carry):
-        tree, rng, it, scratch = carry
+        tree, rng, it, scratch, rcs = carry
         return (it < max_more_sims) & jnp.any(tree.stats[:, 0, S_VISITS] < target)
 
     def body(carry):
-        tree, rng, it, scratch = carry
+        tree, rng, it, scratch, rcs = carry
         k, rng = jax.random.split(rng)
         active = tree.stats[:, 0, S_VISITS] < target
-        tree, _, scratch = _simulate_once(
+        tree, _, scratch, rcs = _simulate_once(
             cfg, sp, eval_fn, tree, k, max_depth, active=active, scratch=scratch,
-            avoid_until=avoid_until,
+            avoid_until=avoid_until, root_cs=rcs,
         )
-        return tree, rng, it + 1, scratch
+        return tree, rng, it + 1, scratch, rcs
 
-    tree, _, _, _ = jax.lax.while_loop(
-        cond, body, (tree, rng, jnp.asarray(0, jnp.int32), scratch0)
+    tree, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (tree, rng, jnp.asarray(0, jnp.int32), scratch0, rcs0)
     )
     return tree
 

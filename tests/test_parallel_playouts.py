@@ -123,7 +123,7 @@ class TestVectorizedRound:
             lambda r, key: mcts.init_tree(CFG, sp, uniform_eval_fn(CFG), r, 64, key)
         )(roots, jax.random.PRNGKey(1))
         scr = mcts.make_round_scratch(CFG, tree, md, 4)
-        tree, _, _ = jax.jit(
+        tree, *_ = jax.jit(
             lambda t, key, s: mcts._simulate_round(
                 CFG, sp, uniform_eval_fn(CFG), t, key, md, 4, scratch=s
             )
