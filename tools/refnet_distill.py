@@ -56,7 +56,8 @@ def latest_champion():
     return os.path.join(d, max(models, key=lambda m: int(m.rsplit("-s", 1)[1])))
 
 
-def main(steps: int = 3000, batch: int = 256, seed: int = 11):
+def main(steps: int = 3000, batch: int = 256, seed: int = 11,
+         champion: str | None = None, out_name: str = "coffee-b6c96-distilled"):
     import jax
 
     if os.environ.get("KC_PLATFORM"):  # e.g. cpu for smoke tests
@@ -75,7 +76,9 @@ def main(steps: int = 3000, batch: int = 256, seed: int = 11):
         load_ref_model, ref_compat_features, ref_forward, save_ref_model,
     )
 
-    champ_dir = latest_champion()
+    champ_dir = champion or latest_champion()
+    if not os.path.isabs(champ_dir):
+        champ_dir = os.path.join(REPO, "artifacts", "flagship_b6c96", "models", champ_dir)
     model, cparams, cfg, meta = load_exported_model(champ_dir)
     print(f"champion: {champ_dir} ({meta.get('model')})", flush=True)
 
@@ -169,15 +172,15 @@ def main(steps: int = 3000, batch: int = 256, seed: int = 11):
     ref.trunk = merged["trunk"]
     ref.policy_head = merged["policy_head"]
     ref.value_head = merged["value_head"]
-    ref.name = "coffee-b6c96-distilled"
+    ref.name = out_name
     os.makedirs(OUT_DIR, exist_ok=True)
-    out_path = os.path.join(OUT_DIR, "coffee-b6c96-distilled.bin.gz")
+    out_path = os.path.join(OUT_DIR, out_name + ".bin.gz")
     save_ref_model(ref, out_path)
     os.makedirs(ART_DIR, exist_ok=True)
     import shutil
 
-    shutil.copy2(out_path, os.path.join(ART_DIR, "coffee-b6c96-distilled.bin.gz"))
-    with open(os.path.join(ART_DIR, "distill_log.json"), "w") as f:
+    shutil.copy2(out_path, os.path.join(ART_DIR, out_name + ".bin.gz"))
+    with open(os.path.join(ART_DIR, f"distill_log_{out_name}.json"), "w") as f:
         json.dump(
             dict(champion=os.path.basename(champ_dir), steps=steps, batch=batch,
                  top1_agreement=top1, log=log),
@@ -190,4 +193,6 @@ if __name__ == "__main__":
     main(
         steps=int(sys.argv[1]) if len(sys.argv) > 1 else 3000,
         batch=int(sys.argv[2]) if len(sys.argv) > 2 else 256,
+        champion=sys.argv[3] if len(sys.argv) > 3 else None,
+        out_name=sys.argv[4] if len(sys.argv) > 4 else "coffee-b6c96-distilled",
     )
