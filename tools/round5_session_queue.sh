@@ -38,8 +38,8 @@ run_stage() {
   sleep 15
 }
 
-run_stage kvec 2700 python tools/kvec_ab.py --games 192
-run_stage seglen 1500 python tools/seglen_ab.py
-run_stage bench 1200 python bench.py
+run_stage kvec 1800 python tools/kvec_ab.py --games 192
+run_stage seglen 1200 python tools/seglen_ab.py
 run_stage flagship 2400 python tools/flagship_run.py /root/repo/.runs/flagship_b6c96 12 16
+run_stage winlen 2400 python tools/winlen_ablation.py
 echo "=== session queue complete ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
