@@ -49,7 +49,10 @@ def main():
 
     total_moves = 24  # same total measured work per arm
     out = {"batch": B, "visits": num_sims, "total_moves": total_moves, "arms": {}}
-    for mps in (2, 4, 6):
+    # arms capped at 4 moves/call (~13s at the round-5 rate): the axon
+    # watchdog kills calls beyond ~20-25s, and a watchdog kill mid-queue
+    # risks wedging the tunnel for the later stages
+    for mps in (2, 3, 4):
         states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))
         ep = jnp.zeros((B,), jnp.int32)
         seg = jax.jit(
@@ -60,12 +63,13 @@ def main():
         s2, e2, traj = seg(states, ep, jax.random.PRNGKey(0))
         float(jnp.sum(traj.played_action))  # forced fetch
         n_calls = total_moves // mps
+        moves_done = n_calls * mps
         t0 = time.perf_counter()
         for i in range(n_calls):
             s2, e2, traj = seg(s2, e2, jax.random.PRNGKey(1 + i))
         float(jnp.sum(traj.played_action))
         dt = time.perf_counter() - t0
-        vps = B * num_sims * total_moves / dt
+        vps = B * num_sims * moves_done / dt
         out["arms"][f"moves{mps}"] = {
             "visits_per_sec": round(vps, 1),
             "sec_per_call": round(dt / n_calls, 2),
