@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--segments", type=int, default=6)
     ap.add_argument("--ks", default="1,2,4")
     ap.add_argument("--skip-match", action="store_true")
+    ap.add_argument("--skip-speed", action="store_true",
+                    help="strength match only (speed is chip-bound; the "
+                    "match semantics are platform-independent)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -58,7 +61,7 @@ def main():
     B = 512
     out = {"champion": latest, "visits": args.visits, "batch": B, "speed": {}}
 
-    for K in [int(k) for k in args.ks.split(",")]:
+    for K in ([] if args.skip_speed else [int(k) for k in args.ks.split(",")]):
         sp = dataclasses.replace(SearchParams.for_selfplay(), numSearchThreads=K)
         states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))
         ep = jnp.zeros((B,), jnp.int32)
@@ -101,7 +104,12 @@ def main():
         )
         print(out["match_k2_vs_k1"], flush=True)
 
-    with open(os.path.join(REPO, "artifacts", "kvec_ab.json"), "w") as f:
+    path = os.path.join(REPO, "artifacts", "kvec_ab.json")
+    if os.path.exists(path):  # merge: speed + match may come from separate runs
+        prev = json.load(open(path))
+        prev.update({k: v for k, v in out.items() if v not in ({}, None)})
+        out = prev
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote artifacts/kvec_ab.json", flush=True)
 
