@@ -74,9 +74,11 @@ def main():
         return vps, dt / n_calls
 
     arms = {}
+    part = os.path.join(REPO, "artifacts", "r5probe_partial.json")
     for name, K, mps in (("k1_m2", 1, 2), ("k2_m2", 2, 2), ("k1_m4", 1, 4)):
         vps, spc = measure(K, mps)
         arms[name] = {"visits_per_sec": round(vps, 1), "sec_per_call": round(spc, 2)}
+        json.dump(arms, open(part, "w"), indent=2)  # survive a mid-run kill
 
     # fold into the two artifact files
     kv_path = os.path.join(REPO, "artifacts", "kvec_ab.json")
